@@ -1,0 +1,238 @@
+"""Unit tests for the coordinate engine and sparse conv vs numpy oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.sparse import coords as C
+from imfnet_tpu.sparse import kernel_map as KM
+from imfnet_tpu.sparse.ops import sparse_conv, masked_batchnorm_stats
+
+from oracles import dense_sparse_conv, unique_first_occurrence
+
+
+def random_coords(rng, n, span=10, batches=2):
+    c = np.stack(
+        [
+            rng.randint(0, batches, n),
+            rng.randint(-span, span, n),
+            rng.randint(-span, span, n),
+            rng.randint(-span, span, n),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    return c
+
+
+def dedup(coords):
+    _, idx = np.unique(coords, axis=0, return_index=True)
+    return coords[np.sort(idx)]
+
+
+def pad_coords(coords, n_pad):
+    out = np.full((n_pad, 4), int(C.PAD_COORD), np.int32)
+    out[: len(coords)] = coords
+    return out
+
+
+def test_lookup_hit_and_miss(rng):
+    coords = dedup(random_coords(rng, 200))
+    n = len(coords)
+    n_pad = 256
+    padded = pad_coords(coords, n_pad)
+    valid = np.arange(n_pad) < n
+    hi, lo = C.make_keys(jnp.asarray(padded), jnp.asarray(valid), is_table=True)
+    order = np.asarray(jnp.lexsort((lo, hi)))
+    s_coords = padded[order]
+    s_hi, s_lo = C.make_keys(jnp.asarray(s_coords), jnp.asarray(valid), is_table=True)
+
+    # queries: half present, half absent
+    q = np.concatenate([coords[:50], random_coords(rng, 50, span=100)])
+    q_pad = pad_coords(q, 128)
+    q_valid = np.arange(128) < len(q)
+    q_hi, q_lo = C.make_keys(jnp.asarray(q_pad), jnp.asarray(q_valid), is_table=False)
+    idx = np.asarray(C.lookup(s_hi, s_lo, q_hi, q_lo))
+
+    table = {tuple(c): i for i, c in enumerate(s_coords[:n])}
+    for j in range(len(q)):
+        expect = table.get(tuple(q[j]), -1)
+        assert idx[j] == expect, (j, q[j], idx[j], expect)
+    assert (idx[len(q):] == -1).all()  # padded queries never match
+
+
+def test_unique_voxels_first_occurrence(rng):
+    coords = random_coords(rng, 300, span=4)  # lots of duplicates
+    n_pad = 512
+    padded = pad_coords(coords, n_pad)
+    valid = np.arange(n_pad) < len(coords)
+    uniq, sel, n_unique = C.unique_voxels(
+        jnp.asarray(padded), jnp.asarray(valid), 384
+    )
+    uniq, sel, n_unique = map(np.asarray, (uniq, sel, int(n_unique)))
+    exp_uniq, exp_sel = unique_first_occurrence(coords)
+    assert n_unique == len(exp_uniq)
+    np.testing.assert_array_equal(uniq[:n_unique], exp_uniq)
+    np.testing.assert_array_equal(sel[:n_unique], exp_sel)
+    assert (sel[n_unique:] == -1).all()
+    assert (uniq[n_unique:] == int(C.PAD_COORD)).all()
+
+
+def test_quantize_matches_floor_unique(rng):
+    xyz = rng.randn(400, 3).astype(np.float32)
+    feats = rng.randn(400, 1).astype(np.float32)
+    voxel = 0.3
+    sv, sel, xyz_down = C.quantize(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.ones(400, bool), voxel, 512
+    )
+    n = int(sv.num_valid)
+    v = np.floor(xyz / voxel).astype(np.int64)
+    exp_uniq, exp_sel = unique_first_occurrence(
+        np.concatenate([np.zeros((400, 1), np.int64), v], axis=1)
+    )
+    assert n == len(exp_uniq)
+    np.testing.assert_array_equal(np.asarray(sv.coords)[:n], exp_uniq)
+    np.testing.assert_allclose(np.asarray(xyz_down)[:n], xyz[exp_sel])
+    np.testing.assert_allclose(np.asarray(sv.feats)[:n], feats[exp_sel])
+
+
+def test_stride_coords(rng):
+    coords = dedup(random_coords(rng, 200, span=8))
+    n_pad = 256
+    padded = pad_coords(coords, n_pad)
+    valid = np.arange(n_pad) < len(coords)
+    out, n_out = C.stride_coords(jnp.asarray(padded), jnp.asarray(valid), 2, 256)
+    out, n_out = np.asarray(out), int(n_out)
+    strided = coords.copy().astype(np.int64)
+    strided[:, 1:] = np.floor_divide(strided[:, 1:], 2) * 2
+    exp, _ = unique_first_occurrence(strided)
+    assert n_out == len(exp)
+    np.testing.assert_array_equal(out[:n_out], exp)
+
+
+def _engine_conv(coords, feats, weight, kernel_size, rng):
+    """Run the jit path: pad, build same-level map, convolve."""
+    n = len(coords)
+    n_pad = 1 << int(np.ceil(np.log2(n + 8)))
+    padded = pad_coords(coords, n_pad)
+    valid = np.arange(n_pad) < n
+    f_pad = np.zeros((n_pad, feats.shape[1]), np.float32)
+    f_pad[:n] = feats
+    nbr = KM.kernel_map_same(
+        jnp.asarray(padded), jnp.asarray(valid), kernel_size, 1
+    )
+    out = sparse_conv(
+        jnp.asarray(f_pad), nbr, jnp.asarray(weight), compute_dtype=jnp.float32
+    )
+    return np.asarray(out)[:n]
+
+
+def test_sparse_conv_k3_vs_oracle(rng):
+    coords = dedup(random_coords(rng, 150, span=5, batches=2))
+    # engine requires key-sorted tables for lookup; sort the input
+    order = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    feats = rng.randn(len(coords), 3).astype(np.float32)
+    weight = rng.randn(27, 3, 5).astype(np.float32) * 0.1
+    got = _engine_conv(coords, feats, weight, 3, rng)
+    exp = dense_sparse_conv(coords, feats, weight, 3)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_conv_k5_vs_oracle(rng):
+    coords = dedup(random_coords(rng, 100, span=4, batches=1))
+    order = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    feats = rng.randn(len(coords), 2).astype(np.float32)
+    weight = rng.randn(125, 2, 4).astype(np.float32) * 0.1
+    got = _engine_conv(coords, feats, weight, 5, rng)
+    exp = dense_sparse_conv(coords, feats, weight, 5)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+def test_strided_down_and_up_conv_vs_oracle(rng):
+    coords = dedup(random_coords(rng, 120, span=6, batches=2))
+    order = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    n = len(coords)
+    n_pad = 256
+    padded = pad_coords(coords, n_pad)
+    valid = np.arange(n_pad) < n
+    feats = rng.randn(n, 3).astype(np.float32)
+    f_pad = np.zeros((n_pad, 3), np.float32)
+    f_pad[:n] = feats
+
+    out_c, out_n = C.stride_coords(jnp.asarray(padded), jnp.asarray(valid), 2, 256)
+    out_valid = jnp.arange(256) < out_n
+    w_down = rng.randn(27, 3, 4).astype(np.float32) * 0.1
+
+    nbr_down = KM.kernel_map_down(
+        jnp.asarray(padded), jnp.asarray(valid), out_c, out_valid, 3, 1
+    )
+    got_down = np.asarray(
+        sparse_conv(jnp.asarray(f_pad), nbr_down, jnp.asarray(w_down),
+                    compute_dtype=jnp.float32)
+    )
+    m = int(out_n)
+    exp_down = dense_sparse_conv(
+        coords, feats, w_down, 3, out_coords=np.asarray(out_c)[:m], offset_scale=1
+    )
+    np.testing.assert_allclose(got_down[:m], exp_down, rtol=1e-4, atol=1e-4)
+    assert np.abs(got_down[m:]).max() == 0  # padded outputs exactly zero
+
+    # Transpose conv back up: coarse (stride-2) inputs → original coords.
+    g_coarse = np.zeros((256, 4), np.float32)
+    g_coarse[:m] = rng.randn(m, 4).astype(np.float32)
+    w_up = rng.randn(27, 4, 3).astype(np.float32) * 0.1
+    nbr_up = KM.kernel_map_up(
+        out_c, out_valid, jnp.asarray(padded), jnp.asarray(valid), 3, 1
+    )
+    got_up = np.asarray(
+        sparse_conv(jnp.asarray(g_coarse), nbr_up, jnp.asarray(w_up),
+                    compute_dtype=jnp.float32)
+    )
+    exp_up = dense_sparse_conv(
+        np.asarray(out_c)[:m], g_coarse[:m], w_up, 3,
+        out_coords=coords, offset_scale=1
+    )
+    np.testing.assert_allclose(got_up[:n], exp_up, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_batchnorm_stats(rng):
+    f = rng.randn(64, 8).astype(np.float32)
+    n_valid = 40
+    mask = np.arange(64) < n_valid
+    f_pad = f * mask[:, None]
+    mean, var = masked_batchnorm_stats(
+        jnp.asarray(f_pad), jnp.asarray(mask), jnp.asarray(n_valid)
+    )
+    np.testing.assert_allclose(np.asarray(mean), f[:n_valid].mean(0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), f[:n_valid].var(0), rtol=1e-4, atol=1e-4)
+
+
+def test_build_pyramid_structure(rng):
+    coords = dedup(random_coords(rng, 200, span=10, batches=2))
+    order = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    n = len(coords)
+    padded = pad_coords(coords, 256)
+    pyr = KM.build_pyramid(
+        jnp.asarray(padded), jnp.asarray(n),
+        level_capacity=(256, 256, 128, 128),
+    )
+    assert len(pyr.levels) == 4
+    assert pyr.k5_l0.shape == (256, 125)
+    # Level l coords must all be multiples of 2^l, valid counts decreasing.
+    prev_n = n + 1
+    for i, lvl in enumerate(pyr.levels):
+        nl = int(lvl.num_valid)
+        assert 0 < nl < prev_n + 1
+        cl = np.asarray(lvl.coords)[:nl]
+        assert (cl[:, 1:] % (2 ** i) == 0).all()
+        assert lvl.k3_same.shape[1] == 27
+        prev_n = nl
+    # Up-map of level 0 points into level 1 rows.
+    up0 = np.asarray(pyr.levels[0].up)
+    n1 = int(pyr.levels[1].num_valid)
+    hit = up0[up0 >= 0]
+    assert hit.size > 0 and hit.max() < n1
+    # Every valid level-0 row must see its own parent voxel via some offset.
+    assert (up0[:n] >= 0).any(axis=1).all()
