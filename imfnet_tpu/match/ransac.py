@@ -1,0 +1,143 @@
+"""Batched RANSAC rigid registration on correspondences.
+
+TPU-native equivalent of Open3D's
+`registration_ransac_based_on_feature_matching` as configured by the
+reference (`scripts/benchmark_util.py:16-34`): ransac_n samples, edge-length
+checker (ratio 0.9, both directions) and distance checker at 1.5×voxel,
+criteria (max_iteration=50000, max_validation=1000), followed by a final
+least-squares refit on the best model's inliers.
+
+Instead of sequential hypotheses with early exit, a fixed batch of hypotheses
+is evaluated entirely on-device: sample → Horn/Kabsch per hypothesis →
+checker masks → blocked inlier count → argmax (fitness, −rmse). Statistical
+power matches or exceeds the sequential criterion: every hypothesis is
+validated against all correspondences (o3d validates at most 1000 candidates).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.match.procrustes import kabsch_umeyama
+from imfnet_tpu.match.metrics import apply_transform
+
+
+class RansacResult(NamedTuple):
+    transformation: jax.Array  # [4,4]
+    fitness: jax.Array         # inliers / valid correspondences
+    inlier_rmse: jax.Array
+    inlier_mask: jax.Array     # bool[C]
+
+
+def _compact_valid(valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Indices of valid rows compacted to the front (for uniform sampling)."""
+    c = valid.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(valid, pos, c)
+    comp = jnp.zeros((c + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop"
+    )[:c]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return comp, n_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ransac_n", "num_hypotheses", "hypo_block", "refine"),
+)
+def ransac_registration(
+    key: jax.Array,
+    src: jax.Array,            # [C,3] source points of candidate correspondences
+    dst: jax.Array,            # [C,3] matched target points
+    valid: jax.Array,          # bool[C]
+    distance_threshold: float,
+    *,
+    ransac_n: int = 3,
+    num_hypotheses: int = 50000,
+    edge_length_ratio: float = 0.9,
+    hypo_block: int = 2048,
+    refine: bool = True,
+) -> RansacResult:
+    c = src.shape[0]
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    comp, n_valid = _compact_valid(valid)
+
+    def eval_block(key_b):
+        # --- sample ransac_n distinct-ish correspondences per hypothesis ---
+        r = jax.random.randint(key_b, (hypo_block, ransac_n), 0, jnp.maximum(n_valid, 1))
+        idx = jnp.take(comp, r)                      # [B,n] rows into src/dst
+        s = jnp.take(src, idx, axis=0)               # [B,n,3]
+        d = jnp.take(dst, idx, axis=0)
+        # --- edge-length checker (both directions, o3d ratio 0.9) ---
+        di = s[:, :, None, :] - s[:, None, :, :]
+        dj = d[:, :, None, :] - d[:, None, :, :]
+        ls = jnp.linalg.norm(di, axis=-1)
+        ld = jnp.linalg.norm(dj, axis=-1)
+        off_diag = ~jnp.eye(ransac_n, dtype=bool)
+        edge_ok = jnp.all(
+            ((ls > edge_length_ratio * ld) & (ld > edge_length_ratio * ls))
+            | ~off_diag,
+            axis=(1, 2),
+        )
+        # degenerate duplicate picks → zero edges fail the checker already
+        T = kabsch_umeyama(s, d)                     # [B,4,4]
+        # --- distance checker on the sampled correspondences ---
+        moved = apply_transform(s, T)
+        samp_ok = jnp.all(
+            jnp.linalg.norm(moved - d, axis=-1) <= distance_threshold, axis=-1
+        )
+        ok = edge_ok & samp_ok
+        # --- full inlier count / rmse over all valid correspondences ---
+        moved_all = apply_transform(src[None], T)    # [B,C,3]
+        d2 = jnp.sum((moved_all - dst[None]) ** 2, axis=-1)
+        inl = (d2 <= distance_threshold**2) & valid[None, :]
+        count = jnp.sum(inl, axis=1)
+        rmse = jnp.sqrt(
+            jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
+            / jnp.maximum(count, 1).astype(jnp.float32)
+        )
+        # best within block (max count, then min rmse); failed checkers → -1
+        score = jnp.where(
+            ok & (count > 0),
+            count.astype(jnp.float32) - rmse / (rmse + 1.0),  # rmse∈[0,∞)→[0,1)
+            -1.0,
+        )
+        b = jnp.argmax(score)
+        return score[b], T[b]
+
+    n_blocks = -(-num_hypotheses // hypo_block)
+    keys = jax.random.split(key, n_blocks)
+
+    def scan_step(best, key_b):
+        best_score, best_T = best
+        s, T = eval_block(key_b)
+        better = s > best_score
+        return (jnp.where(better, s, best_score), jnp.where(better, T, best_T)), None
+
+    init = (jnp.float32(-jnp.inf), jnp.eye(4, dtype=jnp.float32))
+    (_, best_T), _ = jax.lax.scan(scan_step, init, keys)
+
+    # final inliers + optional least-squares refit (improves on o3d, which
+    # returns the raw best sample model in 0.12)
+    def inliers_of(T):
+        moved = apply_transform(src, T)
+        d2 = jnp.sum((moved - dst) ** 2, axis=-1)
+        return (d2 <= distance_threshold**2) & valid, d2
+
+    inl, d2 = inliers_of(best_T)
+    if refine:
+        refit = kabsch_umeyama(src, dst, weights=inl.astype(jnp.float32))
+        inl_r, d2_r = inliers_of(refit)
+        use = jnp.sum(inl_r) >= jnp.sum(inl)
+        best_T = jnp.where(use, refit, best_T)
+        inl = jnp.where(use, inl_r, inl)
+        d2 = jnp.where(use, d2_r, d2)
+
+    count = jnp.sum(inl)
+    fitness = count / jnp.maximum(jnp.sum(valid), 1)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(count, 1))
+    return RansacResult(best_T, fitness, rmse, inl)

@@ -1,0 +1,178 @@
+"""Tests for the matching/registration subsystem against closed forms."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imfnet_tpu.match import (
+    blocked_nn,
+    mutual_nn,
+    radius_match,
+    kabsch_umeyama,
+    ransac_registration,
+    est_rigid_irls,
+    icp_point_to_point,
+)
+from imfnet_tpu.match.metrics import (
+    apply_transform,
+    registration_error,
+    transform_error,
+    inlier_ratio,
+    hit_ratio,
+)
+from imfnet_tpu.match.procrustes import rotmat_to_quat, quat_to_rotmat
+
+
+def random_rigid(rng, max_angle=np.pi):
+    axis = rng.randn(3)
+    axis /= np.linalg.norm(axis)
+    angle = rng.rand() * max_angle
+    K = np.cross(np.eye(3), axis)
+    R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = rng.randn(3)
+    return T.astype(np.float32)
+
+
+def test_blocked_nn_exact(rng):
+    q = rng.randn(137, 8).astype(np.float32)
+    r = rng.randn(259, 8).astype(np.float32)
+    idx = np.asarray(blocked_nn(jnp.asarray(q), jnp.asarray(r), block=64))
+    d = ((q[:, None] - r[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(idx, d.argmin(1))
+
+
+def test_blocked_nn_respects_validity(rng):
+    q = rng.randn(20, 4).astype(np.float32)
+    r = rng.randn(50, 4).astype(np.float32)
+    valid = np.arange(50) < 30
+    idx = np.asarray(blocked_nn(jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid), block=16))
+    d = ((q[:, None] - r[None, :30]) ** 2).sum(-1)
+    np.testing.assert_array_equal(idx, d.argmin(1))
+
+
+def test_mutual_nn(rng):
+    f0 = rng.randn(40, 6).astype(np.float32)
+    f1 = rng.randn(55, 6).astype(np.float32)
+    nn01, mutual = mutual_nn(jnp.asarray(f0), jnp.asarray(f1))
+    nn01, mutual = np.asarray(nn01), np.asarray(mutual)
+    d01 = ((f0[:, None] - f1[None]) ** 2).sum(-1)
+    e01 = d01.argmin(1)
+    e10 = d01.argmin(0)
+    np.testing.assert_array_equal(nn01, e01)
+    np.testing.assert_array_equal(mutual, e10[e01] == np.arange(40))
+
+
+def test_quat_roundtrip(rng):
+    for _ in range(20):
+        T = random_rigid(rng)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(T[:3, :3])))
+        R2 = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+        np.testing.assert_allclose(R2, T[:3, :3], atol=1e-5)
+
+
+def test_kabsch_recovers_rigid(rng):
+    T = random_rigid(rng)
+    src = rng.randn(50, 3).astype(np.float32)
+    dst = src @ T[:3, :3].T + T[:3, 3]
+    Te = np.asarray(kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(Te, T, atol=1e-4)
+
+
+def test_kabsch_weighted_ignores_outliers(rng):
+    T = random_rigid(rng)
+    src = rng.randn(60, 3).astype(np.float32)
+    dst = src @ T[:3, :3].T + T[:3, 3]
+    dst[40:] += rng.randn(20, 3) * 5  # corrupt
+    w = np.concatenate([np.ones(40), np.zeros(20)]).astype(np.float32)
+    Te = np.asarray(kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)))
+    np.testing.assert_allclose(Te, T, atol=1e-4)
+
+
+def test_kabsch_batched(rng):
+    src = rng.randn(8, 3, 3).astype(np.float32)
+    Ts = np.stack([random_rigid(rng) for _ in range(8)])
+    dst = np.einsum("bij,bnj->bni", Ts[:, :3, :3], src) + Ts[:, None, :3, 3]
+    Te = np.asarray(kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(Te, Ts, atol=1e-3)
+
+
+def test_ransac_recovers_pose_with_outliers(rng):
+    T = random_rigid(rng)
+    n = 500
+    src = (rng.rand(n, 3) * 4).astype(np.float32)
+    dst = src @ T[:3, :3].T + T[:3, 3]
+    n_out = 300
+    dst[:n_out] = rng.rand(n_out, 3) * 4  # 60% outliers
+    valid = np.ones(n, bool)
+    res = ransac_registration(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(valid), 0.0375, ransac_n=3, num_hypotheses=4096,
+        hypo_block=512,
+    )
+    rre, rte = registration_error(jnp.asarray(T), res.transformation)
+    assert float(rre) < 1.0 and float(rte) < 0.05, (float(rre), float(rte))
+    assert float(res.fitness) > 0.3
+
+
+def test_irls_recovers_pose(rng):
+    T = random_rigid(rng, max_angle=0.5)
+    src = rng.randn(200, 3).astype(np.float32)
+    dst = src @ T[:3, :3].T + T[:3, 3] + rng.randn(200, 3).astype(np.float32) * 0.001
+    Te = np.asarray(est_rigid_irls(jnp.asarray(src), jnp.asarray(dst)))
+    rre, rte = registration_error(jnp.asarray(T), jnp.asarray(Te))
+    assert float(rre) < 0.5 and float(rte) < 0.02
+
+
+def test_icp_refines_pose(rng):
+    T = random_rigid(rng, max_angle=0.2)
+    src = (rng.rand(300, 3) * 2).astype(np.float32)
+    dst = src @ T[:3, :3].T + T[:3, 3]
+    init = np.eye(4, dtype=np.float32)
+    init[:3, 3] = T[:3, 3] + 0.05
+    # perturb rotation slightly
+    Te = np.asarray(
+        icp_point_to_point(
+            jnp.asarray(src), jnp.asarray(dst),
+            jnp.ones(300, bool), jnp.ones(300, bool),
+            jnp.asarray(init), 0.5, iters=30, block=128,
+        )
+    )
+    rre, rte = registration_error(jnp.asarray(T), jnp.asarray(Te))
+    assert float(rre) < 0.5 and float(rte) < 0.01
+
+
+def test_transform_error_zero_for_exact(rng):
+    T = random_rigid(rng)
+    cov = np.eye(6, dtype=np.float32) * 2.0
+    p = float(transform_error(jnp.asarray(T), jnp.asarray(cov), jnp.asarray(T)))
+    assert p < 1e-8
+    # a perturbed pose must give a positive error
+    T2 = T.copy()
+    T2[:3, 3] += 0.5
+    p2 = float(transform_error(jnp.asarray(T), jnp.asarray(cov), jnp.asarray(T2)))
+    assert p2 > 0.1
+
+
+def test_radius_match(rng):
+    T = np.eye(4, dtype=np.float32)
+    xyz1 = (rng.rand(100, 3) * 2).astype(np.float32)
+    xyz0 = xyz1 + rng.randn(100, 3).astype(np.float32) * 0.01
+    idx, ok = radius_match(
+        jnp.asarray(xyz0), jnp.asarray(xyz1),
+        jnp.ones(100, bool), jnp.ones(100, bool), 0.05, block=32,
+    )
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.mean() > 0.9
+    d = np.linalg.norm(xyz0 - xyz1[idx], axis=1)
+    assert (d[ok] <= 0.05).all()
+
+
+def test_hit_and_inlier_ratio(rng):
+    T = random_rigid(rng)
+    xyz0 = rng.randn(100, 3).astype(np.float32)
+    xyz1 = xyz0 @ T[:3, :3].T + T[:3, 3]
+    assert float(hit_ratio(jnp.asarray(xyz0), jnp.asarray(xyz1), jnp.asarray(T))) > 0.99
+    ir = inlier_ratio(jnp.asarray(xyz1), jnp.asarray(xyz0), jnp.asarray(T))
+    assert float(ir) > 0.99
