@@ -1,0 +1,200 @@
+"""The jitted training / validation step over padded pair batches.
+
+Equivalent of the per-iteration body of
+`HardestContrastiveLossTrainer._train_epoch` (`lib/trainer.py:495-569`):
+two model forwards (one per fragment side), metric-learning loss, SGD update.
+Everything — kernel-map construction included — runs inside one XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.sparse.coords import SparseVoxels
+from imfnet_tpu.sparse.kernel_map import build_pyramid
+from imfnet_tpu.train.losses import (
+    contrastive_loss,
+    hardest_contrastive_loss,
+    hardest_triplet_loss,
+    triplet_loss,
+)
+from imfnet_tpu.train.state import TrainState
+
+
+class PairBatch(NamedTuple):
+    """One padded batch of fragment pairs, concatenated per side.
+
+    The host pipeline voxelizes/augments and pads (`collate` equivalent,
+    `lib/data_loaders.py:28-91`); the device does everything else.
+    """
+
+    coords0: jax.Array   # int32[N,4] key-sorted, batch column = pair index
+    feats0: jax.Array    # [N,1] occupancy
+    n0: jax.Array        # int32[]
+    image0: jax.Array    # [B,H,W,3]
+    coords1: jax.Array
+    feats1: jax.Array
+    n1: jax.Array
+    image1: jax.Array
+    pairs: jax.Array      # int32[P,2] positive correspondences (rows in side arrays)
+    pair_valid: jax.Array # bool[P]
+    xyz0: jax.Array       # [N,3] continuous positions of voxel representatives
+    xyz1: jax.Array
+    T_gt: jax.Array       # [B,4,4]
+
+
+def level_capacities(n_pad: int) -> Tuple[int, int, int, int]:
+    """Static per-level row capacities. Surface voxelization shrinks ~3-4x per
+    stride-2; /2 per level is a safe bound that still halves map cost."""
+    return (n_pad, max(n_pad // 2, 256), max(n_pad // 4, 256), max(n_pad // 8, 256))
+
+
+LOSS_FNS = {
+    "HardestContrastiveLossTrainer": "hardest_contrastive",
+    "ContrastiveLossTrainer": "contrastive",
+    "TripletLossTrainer": "triplet",
+    "HardestTripletLossTrainer": "hardest_triplet",
+}
+
+
+def forward_pair(model, params, batch_stats, batch: PairBatch, *, train: bool,
+                 conv1_kernel_size: int):
+    """Run the model on both sides; side 1 consumes side 0's updated batch
+    stats (the reference updates BN stats sequentially per side,
+    `lib/trainer.py:521-527`)."""
+    caps = level_capacities(batch.coords0.shape[0])
+    sv0 = SparseVoxels(batch.coords0, batch.feats0, batch.n0)
+    pyr0 = build_pyramid(batch.coords0, batch.n0,
+                         conv1_kernel_size=conv1_kernel_size,
+                         level_capacity=caps)
+    sv1 = SparseVoxels(batch.coords1, batch.feats1, batch.n1)
+    pyr1 = build_pyramid(batch.coords1, batch.n1,
+                         conv1_kernel_size=conv1_kernel_size,
+                         level_capacity=caps)
+    if train:
+        f0, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            sv0, pyr0, batch.image0, train=True, mutable=["batch_stats"],
+        )
+        f1, upd = model.apply(
+            {"params": params, "batch_stats": upd["batch_stats"]},
+            sv1, pyr1, batch.image1, train=True, mutable=["batch_stats"],
+        )
+        return f0, f1, upd["batch_stats"]
+    v = {"params": params, "batch_stats": batch_stats}
+    f0 = model.apply(v, sv0, pyr0, batch.image0, train=False)
+    f1 = model.apply(v, sv1, pyr1, batch.image1, train=False)
+    return f0, f1, batch_stats
+
+
+def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array, jax.Array]:
+    """Device-side positive-pair search (replaces the per-sample CPU KD-tree
+    radius query at `util/pointcloud.py:56-69`, a data-loading hot spot).
+
+    For every valid voxel of side 0: its nearest side-1 voxel of the same pair
+    within ``search_radius`` after the gt transform. Pairs are kept apart in
+    one blocked NN pass by a large per-pair coordinate offset.
+    """
+    from imfnet_tpu.match.nn import radius_match
+    from imfnet_tpu.match.metrics import apply_transform
+
+    n0 = batch.coords0.shape[0]
+    n1 = batch.coords1.shape[0]
+    v0 = jnp.arange(n0) < batch.n0
+    v1 = jnp.arange(n1) < batch.n1
+    b0 = jnp.where(v0, batch.coords0[:, 0], 0)
+    b1 = jnp.where(v1, batch.coords1[:, 0], 0)
+    big = jnp.float32(1e5)
+    T = jnp.take(batch.T_gt, jnp.minimum(b0, batch.T_gt.shape[0] - 1), axis=0)
+    x0 = jnp.einsum("nij,nj->ni", T[:, :3, :3], batch.xyz0) + T[:, :3, 3]
+    x0 = x0 + (b0 * big)[:, None]
+    x1 = batch.xyz1 + (b1 * big)[:, None]
+    # radius can be a traced scalar: radius_match jit-compiles with it static;
+    # inline the blocked NN here instead to allow dynamic radius
+    from imfnet_tpu.match.nn import blocked_nn
+
+    idx, d2 = blocked_nn(x0, x1, v1, block=4096, with_dist=True)
+    ok = v0 & (d2 <= search_radius * search_radius)
+    pairs = jnp.stack([jnp.arange(n0, dtype=jnp.int32), idx.astype(jnp.int32)], axis=1)
+    return pairs, ok
+
+
+def make_train_step(model, tx, config: Config, axis_name: str | None = None):
+    """Returns train_step(state, batch, key) → (state, metrics). When
+    ``axis_name`` is set the step is shard_map-compatible: grads/stats are
+    pmean'd over that mesh axis (data parallel over fragment pairs — new
+    capability vs the single-GPU reference, SURVEY.md §2.3)."""
+    loss_kind = LOSS_FNS[config.trainer]
+
+    def loss_fn(params, batch_stats, batch: PairBatch, key):
+        f0, f1, new_stats = forward_pair(
+            model, params, batch_stats, batch, train=True,
+            conv1_kernel_size=config.conv1_kernel_size,
+        )
+        valid0 = jnp.arange(f0.shape[0]) < batch.n0
+        valid1 = jnp.arange(f1.shape[0]) < batch.n1
+        if batch.pairs is None:
+            # on-device positive search (matching_search_voxel_size =
+            # voxel * multiplier, `lib/data_loaders.py:122`)
+            radius = config.voxel_size * config.positive_pair_search_voxel_size_multiplier
+            pairs, pair_valid = compute_correspondences(batch, radius)
+        else:
+            pairs, pair_valid = batch.pairs, batch.pair_valid
+        args = (key, f0, valid0, f1, valid1, pairs, pair_valid)
+        if loss_kind == "hardest_contrastive":
+            pos, neg = hardest_contrastive_loss(
+                *args,
+                num_pos=config.num_pos_per_batch * config.batch_size,
+                num_hn_samples=config.num_hn_samples_per_batch * config.batch_size,
+                pos_thresh=config.pos_thresh,
+                neg_thresh=config.neg_thresh,
+            )
+            loss = pos + config.neg_weight * neg
+            metrics = {"loss": loss, "pos_loss": pos, "neg_loss": neg}
+        elif loss_kind == "contrastive":
+            pos, neg = contrastive_loss(*args, neg_thresh=config.neg_thresh)
+            loss = pos + config.neg_weight * neg
+            metrics = {"loss": loss, "pos_loss": pos, "neg_loss": neg}
+        elif loss_kind == "triplet":
+            loss, pd, nd = triplet_loss(
+                *args,
+                num_pos=config.triplet_num_pos * config.batch_size,
+                num_rand_triplet=config.triplet_num_rand * config.batch_size,
+                neg_thresh=config.neg_thresh,
+            )
+            metrics = {"loss": loss, "pos_dist": pd, "neg_dist": nd}
+        else:
+            loss, pd, nd = hardest_triplet_loss(
+                *args,
+                num_pos=config.triplet_num_pos * config.batch_size,
+                num_hn_samples=config.triplet_num_hn * config.batch_size,
+                num_rand_triplet=config.triplet_num_rand * config.batch_size,
+                neg_thresh=config.neg_thresh,
+            )
+            metrics = {"loss": loss, "pos_dist": pd, "neg_dist": nd}
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch: PairBatch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return state, metrics
+
+    return train_step
