@@ -90,6 +90,10 @@ class Config:
     # Variable point counts are padded to these shapes to avoid recompiles.
     max_points: int = 65536           # stride-1 voxels per batch side
     max_correspondences: int = 16384  # positive pairs per batch
+    # Dense-grid coordinate index (fast kernel maps). Extents in stride-1
+    # voxel cells per fragment; fragments outside fall back to binary search.
+    use_grid_maps: bool = True
+    grid_extent: Tuple[int, int, int] = (256, 256, 256)
     compute_dtype: str = "bfloat16"   # conv/attention compute dtype (f32 accum)
     param_dtype: str = "float32"
     data_parallel: int = 1            # device-mesh size over the pair axis
@@ -133,6 +137,7 @@ def kitti_config(**overrides) -> Config:
         ransac_n=4,
         out_dir="outputs_kitti",
         max_points=131072,
+        grid_extent=(704, 704, 128),
     )
     base.update(overrides)
     return Config(**base)

@@ -1,0 +1,60 @@
+"""Descriptor extraction: raw points + image → (xyz_down, descriptors).
+
+The jit-side equivalent of `extract_features` (`util/misc.py:21-104`): inside
+one XLA program it voxel-quantizes (occupancy-1 features), builds the UNet
+coordinate pyramid, and runs the model in eval mode. The host only pads the
+raw point array to a static bucket.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.sparse.coords import quantize
+from imfnet_tpu.train.step import make_pyramid_fn
+
+
+def pad_points(xyz: np.ndarray, n_raw_pad: int) -> Tuple[np.ndarray, int]:
+    """Pad raw points to a static bucket (subsamples if over capacity)."""
+    n = len(xyz)
+    if n > n_raw_pad:
+        sel = np.random.RandomState(0).choice(n, n_raw_pad, replace=False)
+        xyz = xyz[sel]
+        n = n_raw_pad
+    out = np.zeros((n_raw_pad, 3), np.float32)
+    out[:n] = xyz
+    return out, n
+
+
+def make_extractor(model, variables, *, config: Config, n_pad: int,
+                   voxel_size: float | None = None):
+    """Returns jitted extract(xyz_raw[nraw,3], n_raw, image[1,H,W,3]) →
+    (xyz_down[n_pad,3], feats[n_pad,C], num_valid)."""
+    vox = voxel_size if voxel_size is not None else config.voxel_size
+    pyramid_fn = make_pyramid_fn(config, n_pad, num_batches=1)
+    if config.use_grid_maps:
+        from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
+
+        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+
+        def quantize_fn(x, f, valid):
+            return quantize_grid(x, f, valid, vox, n_pad, spec)
+    else:
+        def quantize_fn(x, f, valid):
+            return quantize(x, f, valid, vox, n_pad)
+
+    @jax.jit
+    def extract(xyz_raw, n_raw, image):
+        valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+        feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+        sv, _, xyz_down = quantize_fn(xyz_raw, feats_in, valid)
+        pyr = pyramid_fn(sv.coords, sv.num_valid)
+        feats = model.apply(variables, sv, pyr, image, train=False)
+        return xyz_down, feats, sv.num_valid
+
+    return extract

@@ -1,0 +1,92 @@
+"""Pair registration + benchmark metrics, fully on-device.
+
+Bundles the per-pair evaluation of `register_fragment_pair`
+(`scripts/evaluation_3dmatch.py:89-236`): keypoint sampling, feature-space
+NN, RANSAC (checkers per `scripts/benchmark_util.py:16-34`), covariance RR
+test, RRE/RTE, mutual-NN inlier ratio for FMR.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.match.metrics import (
+    apply_transform,
+    inlier_ratio,
+    registration_error,
+    transform_error,
+)
+from imfnet_tpu.match.nn import blocked_nn, mutual_nn
+from imfnet_tpu.match.ransac import ransac_registration
+
+
+def sample_keypoints(key, valid: jax.Array, k: int):
+    """k distinct random valid rows (`evaluation_3dmatch.py:154-156`)."""
+    scores = jax.random.uniform(key, valid.shape)
+    scores = jnp.where(valid, scores, -1.0)
+    top, idx = jax.lax.top_k(scores, k)
+    return idx.astype(jnp.int32), top >= 0.0
+
+
+def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
+                           ransac_n: int = 3, num_hypotheses: int = 50000,
+                           inlier_thresh: float = 0.1, hypo_block: int = 2048):
+    """Returns jitted register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, cov) →
+    metrics dict {rr, rre, rte, ir, inlier_ratio_mutual, num_inliers, fitness}."""
+    distance_threshold = voxel_size * 1.5
+
+    @jax.jit
+    def register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, covariance):
+        k0, k1, k2 = jax.random.split(key, 3)
+        v0 = jnp.arange(xyz0.shape[0]) < n0
+        v1 = jnp.arange(xyz1.shape[0]) < n1
+        i0, ok0 = sample_keypoints(k0, v0, num_keypoints)
+        i1, ok1 = sample_keypoints(k1, v1, num_keypoints)
+        kp0, kd0 = jnp.take(xyz0, i0, 0), jnp.take(f0, i0, 0)
+        kp1, kd1 = jnp.take(xyz1, i1, 0), jnp.take(f1, i1, 0)
+
+        # candidate correspondences: source keypoint → NN target keypoint in
+        # descriptor space (o3d feature-matching RANSAC semantics)
+        nn01 = blocked_nn(kd0, kd1, ok1, block=4096)
+        corr_dst = jnp.take(kp1, nn01, 0)
+        res = ransac_registration(
+            k2, kp0, corr_dst, ok0, distance_threshold,
+            ransac_n=ransac_n, num_hypotheses=num_hypotheses,
+            hypo_block=hypo_block,
+        )
+        # reference estimates source→target then inverts
+        # (`evaluation_3dmatch.py:182-187`); here T maps 0→1, es_T = inv(T)
+        es_T = jnp.linalg.inv(res.transformation)
+        err = transform_error(T_gt, covariance, es_T)
+        accepted = err < 0.2**2
+        rre, rte = registration_error(T_gt, es_T)
+        # IR of the estimated alignment (`evaluation_3dmatch.py:198-202`)
+        kp1_in0 = apply_transform(kp1, es_T)
+        ir = inlier_ratio(kp1_in0, kp1, T_gt, valid=ok1,
+                          positive_radius=inlier_thresh)
+
+        # mutual-NN FMR inlier ratio (`evaluation_3dmatch.py:207-236`)
+        nn10, mutual = mutual_nn(kd1, kd0, ok1, ok0)
+        m0 = jnp.take(kp0, nn10, 0)     # matched kpts in frame 0
+        moved1 = apply_transform(kp1, T_gt)  # pose maps 1→0 in gt.log convention
+        d = jnp.linalg.norm(m0 - moved1, axis=-1)
+        w = mutual.astype(jnp.float32)
+        num_inl = jnp.sum((d < inlier_thresh).astype(jnp.float32) * w)
+        ratio = num_inl / jnp.maximum(jnp.sum(w), 1.0)
+
+        return {
+            "accepted": accepted,
+            "rr": accepted.astype(jnp.float32),
+            "rre": jnp.where(accepted, rre, 0.0),
+            "rte": jnp.where(accepted, rte, 0.0),
+            "ir": ir,
+            "num_inliers": num_inl,
+            "inlier_ratio_mutual": ratio,
+            "fitness": res.fitness,
+            "transformation": es_T,
+        }
+
+    return register

@@ -50,7 +50,7 @@ def make_parallel_train_step(model, tx, config: Config, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(P(), P(DP_AXIS), P(DP_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -68,8 +68,7 @@ def make_parallel_eval_forward(model, config: Config, mesh: Mesh) -> Callable:
     def device_forward(params, batch_stats, batch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         f0, f1, _ = forward_pair(
-            model, params, batch_stats, batch, train=False,
-            conv1_kernel_size=config.conv1_kernel_size,
+            model, params, batch_stats, batch, train=False, config=config,
         )
         return f0[None], f1[None]
 
@@ -78,6 +77,6 @@ def make_parallel_eval_forward(model, config: Config, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(P(), P(), P(DP_AXIS)),
         out_specs=(P(DP_AXIS), P(DP_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -61,20 +61,44 @@ LOSS_FNS = {
 }
 
 
+def make_pyramid_fn(config: Config, n_pad: int, num_batches: int):
+    """Coordinate-pyramid builder per config: dense-grid index (fast path,
+    imfnet_tpu.sparse.grid) or exact binary search fallback."""
+    caps = level_capacities(n_pad)
+    if config.use_grid_maps:
+        from imfnet_tpu.sparse.grid import GridSpec, build_pyramid_grid
+
+        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=num_batches)
+
+        def fn(coords, n):
+            return build_pyramid_grid(
+                coords, n, spec=spec,
+                conv1_kernel_size=config.conv1_kernel_size,
+                level_capacity=caps,
+            )
+
+        return fn
+
+    def fn(coords, n):
+        return build_pyramid(
+            coords, n, conv1_kernel_size=config.conv1_kernel_size,
+            level_capacity=caps,
+        )
+
+    return fn
+
+
 def forward_pair(model, params, batch_stats, batch: PairBatch, *, train: bool,
-                 conv1_kernel_size: int):
+                 config: Config):
     """Run the model on both sides; side 1 consumes side 0's updated batch
     stats (the reference updates BN stats sequentially per side,
     `lib/trainer.py:521-527`)."""
-    caps = level_capacities(batch.coords0.shape[0])
+    num_batches = batch.image0.shape[0]
+    pyramid_fn = make_pyramid_fn(config, batch.coords0.shape[0], num_batches)
     sv0 = SparseVoxels(batch.coords0, batch.feats0, batch.n0)
-    pyr0 = build_pyramid(batch.coords0, batch.n0,
-                         conv1_kernel_size=conv1_kernel_size,
-                         level_capacity=caps)
+    pyr0 = pyramid_fn(batch.coords0, batch.n0)
     sv1 = SparseVoxels(batch.coords1, batch.feats1, batch.n1)
-    pyr1 = build_pyramid(batch.coords1, batch.n1,
-                         conv1_kernel_size=conv1_kernel_size,
-                         level_capacity=caps)
+    pyr1 = pyramid_fn(batch.coords1, batch.n1)
     if train:
         f0, upd = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -132,8 +156,7 @@ def make_train_step(model, tx, config: Config, axis_name: str | None = None):
 
     def loss_fn(params, batch_stats, batch: PairBatch, key):
         f0, f1, new_stats = forward_pair(
-            model, params, batch_stats, batch, train=True,
-            conv1_kernel_size=config.conv1_kernel_size,
+            model, params, batch_stats, batch, train=True, config=config,
         )
         valid0 = jnp.arange(f0.shape[0]) < batch.n0
         valid1 = jnp.arange(f1.shape[0]) < batch.n1

@@ -1,0 +1,198 @@
+"""High-level training orchestration.
+
+The `AlignmentTrainer` equivalent (`lib/trainer.py:28-198`): builds the model
+from config, runs epochs, validates every `val_epoch_freq`, tracks the best
+validation metric (max for feat_match_ratio/success, min for rre/rte,
+`lib/trainer.py:148-181`), writes `config.json` into the run dir, saves
+per-epoch + best checkpoints with the metric value in the name, and resumes
+full state. One Trainer class covers all four loss flavours (the loss is
+selected inside the jitted step via config.trainer).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.models import load_model
+from imfnet_tpu.sparse.coords import SparseVoxels
+from imfnet_tpu.sparse.kernel_map import build_pyramid
+from imfnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from imfnet_tpu.train.state import TrainState, create_train_state, make_optimizer
+from imfnet_tpu.train.step import PairBatch, level_capacities, make_train_step
+from imfnet_tpu.train.validate import make_val_step
+from imfnet_tpu.utils.timer import AverageMeter, Timer
+
+
+class MetricsWriter:
+    """JSONL scalar log (stands in for tensorboardX, `lib/trainer.py:101`)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value, step: int):
+        self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def build_model_from_config(config: Config, compute_dtype=None):
+    import jax.numpy as jnp
+
+    dt = compute_dtype or getattr(jnp, config.compute_dtype)
+    return load_model(config.model)(
+        in_channels=config.in_channels,
+        out_channels=config.model_n_out,
+        conv1_kernel_size=config.conv1_kernel_size,
+        normalize_feature=config.normalize_feature,
+        bn_momentum=config.bn_momentum,
+        compute_dtype=dt,
+    )
+
+
+class Trainer:
+    _MAX_METRICS = ("feat_match_ratio", "success")
+    _MIN_METRICS = ("rre", "rte")
+
+    def __init__(
+        self,
+        config: Config,
+        data_loader: Iterable,
+        val_data_loader: Optional[Iterable] = None,
+        steps_per_epoch: Optional[int] = None,
+    ):
+        self.config = config
+        self.data_loader = data_loader
+        self.val_data_loader = val_data_loader
+        self.model = build_model_from_config(config)
+        self.tx = make_optimizer(config, steps_per_epoch or len(data_loader))
+        self.train_step = jax.jit(make_train_step(self.model, self.tx, config))
+        self.val_step = make_val_step(self.model, config)
+
+        self.best_val_metric = config.best_val_metric
+        self.best_val = -np.inf if self.best_val_metric in self._MAX_METRICS else np.inf
+        self.best_val_epoch = -1
+        self.start_epoch = 1
+        self.out_dir = config.out_dir
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "config.json"), "w") as f:
+            f.write(config.to_json())
+        self.writer = MetricsWriter(self.out_dir)
+        self.state: Optional[TrainState] = None
+        self.key = jax.random.PRNGKey(config.seed)
+
+    # -- state init ---------------------------------------------------------
+    def init_state(self, example_batch: PairBatch) -> TrainState:
+        sv = SparseVoxels(example_batch.coords0, example_batch.feats0, example_batch.n0)
+        pyr = build_pyramid(
+            example_batch.coords0, example_batch.n0,
+            conv1_kernel_size=self.config.conv1_kernel_size,
+            level_capacity=level_capacities(example_batch.coords0.shape[0]),
+        )
+        variables = self.model.init(
+            jax.random.PRNGKey(self.config.seed), sv, pyr, example_batch.image0,
+            train=False,
+        )
+        self.state = create_train_state(variables, self.tx)
+        if self.config.resume:
+            self.state, meta = load_checkpoint(self.config.resume, self.state)
+            self.start_epoch = meta["epoch"]
+            self.best_val = meta.get("best_val", self.best_val)
+            self.best_val_epoch = meta.get("best_val_epoch", -1)
+            self.best_val_metric = meta.get("best_val_metric", self.best_val_metric)
+            logging.info("resumed from %s at epoch %d", self.config.resume, self.start_epoch)
+        return self.state
+
+    # -- epochs -------------------------------------------------------------
+    def train(self):
+        config = self.config
+        if self.val_data_loader is not None and config.test_valid:
+            val = self._valid_epoch()
+            for k, v in val.items():
+                self.writer.add_scalar(f"val/{k}", v, 0)
+
+        for epoch in range(self.start_epoch, config.max_epoch + 1):
+            self._train_epoch(epoch)
+            if self.val_data_loader is not None and epoch % config.val_epoch_freq == 0:
+                val = self._valid_epoch()
+                for k, v in val.items():
+                    self.writer.add_scalar(f"val/{k}", v, epoch)
+                self._save(epoch, val, "checkpoint")
+                cur = val[self.best_val_metric]
+                better = (
+                    cur > self.best_val
+                    if self.best_val_metric in self._MAX_METRICS
+                    else cur < self.best_val
+                )
+                if better:
+                    logging.info("new best %s=%.4f at epoch %d",
+                                 self.best_val_metric, cur, epoch)
+                    self.best_val, self.best_val_epoch = cur, epoch
+                    self._save(epoch, val, "best_val_checkpoint")
+
+    def _train_epoch(self, epoch: int):
+        config = self.config
+        total_timer, data_timer = Timer(), Timer()
+        loss_meter = AverageMeter()
+        it = iter(self.data_loader)
+        n_iter = len(self.data_loader)
+        for curr_iter in range(n_iter):
+            total_timer.tic()
+            data_timer.tic()
+            batch = next(it)
+            data_timer.toc()
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            loss = float(metrics["loss"])
+            loss_meter.update(loss)
+            total_timer.toc()
+            if curr_iter % config.stat_freq == 0:
+                step = (epoch - 1) * n_iter + curr_iter
+                for k, v in metrics.items():
+                    self.writer.add_scalar(f"train/{k}", float(v), step)
+                logging.info(
+                    "Train Epoch: %d [%d/%d], Loss: %.3e  Data t: %.4f, Iter t: %.4f",
+                    epoch, curr_iter, n_iter, loss, data_timer.avg, total_timer.avg,
+                )
+
+    def _valid_epoch(self):
+        config = self.config
+        meters = {k: AverageMeter() for k in
+                  ("loss", "rre", "rte", "success", "hit_ratio", "feat_match_ratio")}
+        tot = len(self.val_data_loader)
+        if config.val_max_iter > 0:
+            tot = min(config.val_max_iter, tot)
+        it = iter(self.val_data_loader)
+        for i in range(tot):
+            batch = next(it)
+            out = self.val_step(self.state.params, self.state.batch_stats,
+                                batch, jax.random.PRNGKey(i))
+            out = {k: float(v) for k, v in out.items()}
+            if not np.isnan(out["rre"]):
+                meters["rre"].update(out["rre"])
+            for k in ("loss", "rte", "success", "hit_ratio", "feat_match_ratio"):
+                meters[k].update(out[k])
+        result = {k: m.avg for k, m in meters.items()}
+        logging.info(
+            "Validation: loss %.3f rte %.3f rre %.3f success %.3f "
+            "hit_ratio %.3f fmr %.3f",
+            result["loss"], result["rte"], result["rre"], result["success"],
+            result["hit_ratio"], result["feat_match_ratio"],
+        )
+        return result
+
+    def _save(self, epoch, val, name):
+        save_checkpoint(
+            self.out_dir, name, self.state, self.config, epoch,
+            self.best_val, self.best_val_epoch, self.best_val_metric,
+            val_value=val[self.best_val_metric],
+        )

@@ -1,0 +1,62 @@
+"""Jitted validation step: correspondence fit + registration metrics.
+
+Equivalent of `ContrastiveLossTrainer._valid_epoch` per-pair body
+(`lib/trainer.py:332-414`): eval-mode forwards, 5000-point subsample,
+descriptor NN (`find_corr`, :416-430), IRLS pose fit
+(`util/transform_estimation.py:89-116`), then loss/RTE/RRE/success/
+hit-ratio/feat-match-ratio. Runs with val batch_size=1.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.match.irls import est_rigid_irls
+from imfnet_tpu.match.metrics import apply_transform, corr_dist, registration_error
+from imfnet_tpu.match.nn import blocked_nn
+from imfnet_tpu.train.step import PairBatch, forward_pair
+
+
+def _subsample(key, valid, k):
+    scores = jnp.where(valid, jax.random.uniform(key, valid.shape), -1.0)
+    top, idx = jax.lax.top_k(scores, k)
+    return idx.astype(jnp.int32), top >= 0.0
+
+
+def make_val_step(model, config: Config, subsample_size: int = 5000):
+    @jax.jit
+    def val_step(params, batch_stats, batch: PairBatch, key):
+        f0, f1, _ = forward_pair(
+            model, params, batch_stats, batch, train=False, config=config,
+        )
+        v0 = jnp.arange(f0.shape[0]) < batch.n0
+        v1 = jnp.arange(f1.shape[0]) < batch.n1
+        k0, k1 = jax.random.split(key)
+        i0, ok0 = _subsample(k0, v0, subsample_size)
+        i1, ok1 = _subsample(k1, v1, subsample_size)
+        sf0, sx0 = jnp.take(f0, i0, 0), jnp.take(batch.xyz0, i0, 0)
+        sf1, sx1 = jnp.take(f1, i1, 0), jnp.take(batch.xyz1, i1, 0)
+        nn01 = blocked_nn(sf0, sf1, ok1, block=4096)
+        x0c, x1c = sx0, jnp.take(sx1, nn01, 0)
+
+        T_est = est_rigid_irls(x0c, x1c, valid=ok0)
+        T_gt = batch.T_gt[0]
+        loss = corr_dist(T_est, T_gt, batch.xyz0, valid=v0)
+        rre, rte = registration_error(T_gt, T_est)
+        success = (rte < 2.0) & (rre < 5.0)
+
+        moved = apply_transform(x0c, T_gt)
+        d = jnp.sqrt(jnp.sum((moved - x1c) ** 2, -1) + 1e-6)
+        w = ok0.astype(jnp.float32)
+        hit = jnp.sum((d < config.hit_ratio_thresh) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return {
+            "loss": loss,
+            "rre": rre,
+            "rte": rte,
+            "success": success.astype(jnp.float32),
+            "hit_ratio": hit,
+            "feat_match_ratio": (hit > 0.05).astype(jnp.float32),
+        }
+
+    return val_step
