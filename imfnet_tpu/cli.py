@@ -1,0 +1,195 @@
+"""Command-line entry points.
+
+Replaces the reference's script zoo: `train_3DMatch.py` / `train_Kitti.py`,
+`scripts/generate_desc.py`, `scripts/evaluation_3dmatch.py`,
+`scripts/evaluation_kitti.py`, `dam.py` — as subcommands of one CLI:
+
+  python -m imfnet_tpu.cli train --dataset 3dmatch --threed-match-dir ...
+  python -m imfnet_tpu.cli generate-desc --checkpoint ... --pcloud-root ...
+  python -m imfnet_tpu.cli eval-3dmatch --desc-root ... --benchmark 3DMatch
+  python -m imfnet_tpu.cli eval-kitti --checkpoint ... --kitti-root ...
+  python -m imfnet_tpu.cli dam --checkpoint ... --ply ... --image ... --point 780
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _base_config(args):
+    from imfnet_tpu.config import kitti_config, threedmatch_config
+
+    preset = kitti_config if args.dataset == "kitti" else threedmatch_config
+    over = {}
+    for k in ("threed_match_dir", "overlap_path", "kitti_root", "out_dir",
+              "max_epoch", "batch_size", "lr", "voxel_size", "trainer",
+              "max_points", "seed"):
+        v = getattr(args, k, None)
+        if v is not None:
+            over[k] = v
+    return preset(**over)
+
+
+def _load_model_and_vars(checkpoint: str):
+    """Rebuild the model from a checkpoint's embedded config
+    (`scripts/generate_model.py:28-62` contract)."""
+    import jax.numpy as jnp
+
+    from imfnet_tpu.train.checkpoint import load_config_from_checkpoint
+    from imfnet_tpu.train.trainer import build_model_from_config
+    from flax import serialization
+
+    config = load_config_from_checkpoint(checkpoint)
+    model = build_model_from_config(config)
+    with open(os.path.join(checkpoint, "state.msgpack"), "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    return model, variables, config
+
+
+def cmd_train(args):
+    from imfnet_tpu.data.datasets import make_data_loader
+    from imfnet_tpu.train.trainer import Trainer
+
+    config = _base_config(args)
+    train_loader = make_data_loader(config, "train", config.batch_size)
+    val_loader = make_data_loader(config, "val", config.val_batch_size)
+    trainer = Trainer(config, train_loader, val_loader)
+    first = next(iter(train_loader))
+    trainer.init_state(first)
+    trainer.train()
+
+
+def cmd_generate_desc(args):
+    from imfnet_tpu.eval.threedmatch import generate_descriptors
+
+    model, variables, config = _load_model_and_vars(args.checkpoint)
+    stats = generate_descriptors(
+        model, variables, config, args.pcloud_root, args.out_root)
+    print(json.dumps(stats))
+
+
+def cmd_eval_3dmatch(args):
+    from imfnet_tpu.eval.threedmatch import evaluate
+
+    if args.checkpoint:
+        _, _, config = _load_model_and_vars(args.checkpoint)
+    else:
+        config = _base_config(args)
+    if args.benchmark == "3DLoMatch":
+        # same protocol, different gt pair lists (low overlap)
+        pass
+    summary = evaluate(
+        config, args.desc_root, args.out_root, args.benchmark_dir,
+        desc_type=args.desc_type,
+    )
+    print(json.dumps(summary))
+
+
+def cmd_eval_kitti(args):
+    from imfnet_tpu.data.datasets import make_data_loader
+    from imfnet_tpu.eval.kitti import evaluate_kitti
+
+    model, variables, config = _load_model_and_vars(args.checkpoint)
+    if args.kitti_root:
+        config = config.replace(kitti_root=args.kitti_root)
+    loader = make_data_loader(config, "test", 1, shuffle=False)
+    result = evaluate_kitti(model, variables, config, loader)
+    print(json.dumps(result))
+
+
+def cmd_dam(args):
+    import jax
+    import jax.numpy as jnp
+
+    from imfnet_tpu.dam.dam import descriptor_activation_map, save_dam_ply
+    from imfnet_tpu.eval.extract import pad_points
+    from imfnet_tpu.geom.image import load_image, process_image
+    from imfnet_tpu.geom.ply import read_ply
+    from imfnet_tpu.sparse.coords import SparseVoxels
+    from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
+    from imfnet_tpu.train.step import make_pyramid_fn
+
+    model, variables, config = _load_model_and_vars(args.checkpoint)
+    points = read_ply(args.ply)["points"].astype(np.float32)
+    image = process_image(load_image(args.image), config.image_H, config.image_W)
+    n_raw_pad = 1 << 18
+    n_pad = 1 << 15
+    raw, n_raw = pad_points(points, n_raw_pad)
+    spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+    sv, _, xyz_down = quantize_grid(
+        jnp.asarray(raw), jnp.ones((n_raw_pad, 1), jnp.float32),
+        jnp.arange(n_raw_pad) < n_raw, config.voxel_size, n_pad, spec)
+    pyramid_fn = make_pyramid_fn(config, n_pad, 1)
+    pyr = pyramid_fn(sv.coords, sv.num_valid)
+    weights = descriptor_activation_map(
+        model, variables, sv, pyr, jnp.asarray(image[None]), args.point)
+    save_dam_ply(args.out, np.asarray(xyz_down), np.asarray(weights),
+                 int(sv.num_valid))
+    print(f"DAM written to {args.out}")
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(message)s",
+        datefmt="%m/%d %H:%M:%S",
+        stream=sys.stdout,
+    )
+    p = argparse.ArgumentParser(prog="imfnet-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--dataset", choices=["3dmatch", "kitti", "synthetic"],
+                    default="3dmatch")
+    for flag, typ in [("--threed-match-dir", str), ("--overlap-path", str),
+                      ("--kitti-root", str), ("--out-dir", str),
+                      ("--max-epoch", int), ("--batch-size", int),
+                      ("--lr", float), ("--voxel-size", float),
+                      ("--trainer", str), ("--max-points", int),
+                      ("--seed", int)]:
+        pt.add_argument(flag, type=typ, default=None,
+                        dest=flag[2:].replace("-", "_"))
+    pt.set_defaults(fn=cmd_train)
+
+    pg = sub.add_parser("generate-desc")
+    pg.add_argument("--checkpoint", required=True)
+    pg.add_argument("--pcloud-root", required=True)
+    pg.add_argument("--out-root", required=True)
+    pg.set_defaults(fn=cmd_generate_desc)
+
+    pe = sub.add_parser("eval-3dmatch")
+    pe.add_argument("--checkpoint", default=None)
+    pe.add_argument("--dataset", default="3dmatch")
+    pe.add_argument("--desc-root", required=True)
+    pe.add_argument("--out-root", required=True)
+    pe.add_argument("--benchmark-dir", required=True)
+    pe.add_argument("--benchmark", choices=["3DMatch", "3DLoMatch"],
+                    default="3DMatch")
+    pe.add_argument("--desc-type", default="IMFNet")
+    pe.set_defaults(fn=cmd_eval_3dmatch)
+
+    pk = sub.add_parser("eval-kitti")
+    pk.add_argument("--checkpoint", required=True)
+    pk.add_argument("--kitti-root", default=None)
+    pk.set_defaults(fn=cmd_eval_kitti)
+
+    pd = sub.add_parser("dam")
+    pd.add_argument("--checkpoint", required=True)
+    pd.add_argument("--ply", required=True)
+    pd.add_argument("--image", required=True)
+    pd.add_argument("--point", type=int, default=780)
+    pd.add_argument("--out", default="3D_head_map.ply")
+    pd.set_defaults(fn=cmd_dam)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""KITTI odometry evaluation: RANSAC success rate (RTE<2m, RRE<5°).
+
+`scripts/evaluation_kitti.py:29-147` equivalent: dataloader-driven pair
+evaluation — model forwards on both sides, feature-NN RANSAC (ransac_n=4,
+distance threshold = voxel_size), success accounting and timing meters.
+Failed dataset pairs (<1000 GT matches) are counted and skipped
+(:66-70 / `lib/data_loaders.py:588`).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.eval.registration import make_pair_registration
+from imfnet_tpu.train.step import forward_pair
+from imfnet_tpu.utils.timer import AverageMeter, Timer
+
+
+def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
+    """loader yields PairBatch with batch_size 1 (random_rotation off)."""
+    register = make_pair_registration(
+        num_keypoints=config.num_rand_keypoints,
+        voxel_size=config.voxel_size,
+        ransac_n=config.ransac_n,
+        num_hypotheses=config.ransac_max_iteration,
+        inlier_thresh=config.inlier_thresh,
+    )
+
+    @jax.jit
+    def eval_pair(params, batch_stats, batch, key):
+        f0, f1, _ = forward_pair(
+            model, params, batch_stats, batch, train=False, config=config,
+        )
+        return register(
+            key, batch.xyz0, f0, batch.n0, batch.xyz1, f1, batch.n1,
+            batch.T_gt[0], jnp.eye(6, dtype=jnp.float32),
+        )
+
+    rte_meter, rre_meter = AverageMeter(), AverageMeter()
+    success_meter = AverageMeter()
+    feat_timer, reg_timer = Timer(), Timer()
+    fail_count = 0
+
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    for i, batch in enumerate(loader):
+        feat_timer.tic()
+        out = eval_pair(params, batch_stats, batch, jax.random.PRNGKey(i))
+        T_est = np.asarray(out["transformation"])
+        feat_timer.toc()
+
+        reg_timer.tic()
+        T_gt = np.asarray(batch.T_gt)[0]
+        rte = np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3])
+        x = 0.5 * (np.trace(T_est[:3, :3].T @ T_gt[:3, :3]) - 1.0)
+        rre = np.degrees(np.arccos(np.clip(x, -1, 1)))
+        # success := RTE < 2 m ∧ RRE < 5° (`scripts/evaluation_kitti.py:120-131`)
+        if rte < 2.0 and not np.isnan(rre) and rre < 5.0:
+            success_meter.update(1)
+            rte_meter.update(rte)
+            rre_meter.update(rre)
+        else:
+            success_meter.update(0)
+            logging.info("failed pair %d: rte=%.3f rre=%.3f", i, rte, rre)
+        reg_timer.toc()
+
+        if (i + 1) % 10 == 0:
+            logging.info(
+                "pair %d: RTE %.3f, RRE %.3f, Success %.4f (%d skipped), "
+                "feat t %.3f, reg t %.3f",
+                i, rte_meter.avg, rre_meter.avg, success_meter.avg,
+                fail_count, feat_timer.avg, reg_timer.avg,
+            )
+
+    result = {
+        "rte": rte_meter.avg,
+        "rre": rre_meter.avg,
+        "success_rate": success_meter.avg,
+        "num_pairs": success_meter.count,
+        "failed_loads": fail_count,
+    }
+    logging.info("KITTI eval: %s", result)
+    return result

@@ -1,0 +1,305 @@
+"""3DMatch / 3DLoMatch benchmark pipeline.
+
+Descriptor generation (`scripts/generate_desc.py:44-190`) and evaluation
+(`scripts/evaluation_3dmatch.py:239-498`), with the per-pair work (keypoint
+sampling, feature NN, RANSAC, RR/RRE/RTE/IR, mutual-NN FMR stats) fused into
+one on-device program (imfnet_tpu.eval.registration). Artifact contracts are
+kept: descriptors as `.npz{points, xyz, feature}`, per-scene result txt, and
+the printed FMR/RR/RRE/RTE/IR summary. Scene lists follow
+`scripts/evaluation_3dmatch.py:36-56`.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as osp
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imfnet_tpu.config import Config
+from imfnet_tpu.geom.image import load_image, process_image
+from imfnet_tpu.geom.ply import read_ply
+from imfnet_tpu.geom.trajectory import read_info_file, read_log
+from imfnet_tpu.eval.extract import make_extractor, pad_points
+from imfnet_tpu.eval.registration import make_pair_registration
+
+TEST_SCENE_NAMES = [
+    "7-scenes-redkitchen",
+    "sun3d-home_at-home_at_scan1_2013_jan_1",
+    "sun3d-home_md-home_md_scan9_2012_sep_30",
+    "sun3d-hotel_uc-scan3",
+    "sun3d-hotel_umd-maryland_hotel1",
+    "sun3d-hotel_umd-maryland_hotel3",
+    "sun3d-mit_76_studyroom-76-1studyroom2",
+    "sun3d-mit_lab_hj-lab_hj_tea_nov_2_2012_scan1_erika",
+]
+
+TEST_SCENE_ABBR_NAMES = [
+    "Kitchen", "Home_1", "Home_2", "Hotel_1", "Hotel_2", "Hotel_3",
+    "Study", "MIT_Lab",
+]
+
+
+def list_fragments(scene_dir: str) -> List[str]:
+    names = [f[:-4] for f in os.listdir(scene_dir) if f.endswith(".ply")]
+
+    def keyfn(n):
+        try:
+            return int(n.split("_")[-1])
+        except ValueError:
+            return 0
+
+    return sorted(names, key=keyfn)
+
+
+def generate_descriptors(
+    model,
+    variables,
+    config: Config,
+    pcloud_root: str,
+    out_root: str,
+    scenes: Optional[List[str]] = None,
+    seq_name: str = "seq-01",
+    n_raw_pad: int = 1 << 18,
+    n_pad: int = 1 << 15,
+) -> Dict[str, float]:
+    """Walk test scenes; per fragment: PLY+image → extract → save
+    `.npz{points, xyz, feature}` (`scripts/generate_desc.py:83-123`).
+    Returns timing stats ('All Time' / 'AVG' report, :190)."""
+    extract = make_extractor(model, variables, config=config, n_pad=n_pad)
+    scenes = scenes or TEST_SCENE_NAMES
+    total_t, count = 0.0, 0
+    for scene in scenes:
+        scene_dir = osp.join(pcloud_root, scene, seq_name)
+        out_dir = osp.join(out_root, scene, seq_name)
+        os.makedirs(out_dir, exist_ok=True)
+        for frag in list_fragments(scene_dir):
+            out_path = osp.join(out_dir, frag + ".npz")
+            if osp.exists(out_path):
+                continue
+            ply_path = osp.join(scene_dir, frag + ".ply")
+            points = read_ply(ply_path)["points"].astype(np.float32)
+            img_path = None
+            for suffix in ("_0.png", "_0.jpg"):
+                p = osp.join(scene_dir, frag + suffix)
+                if osp.exists(p):
+                    img_path = p
+                    break
+            if img_path:
+                image = process_image(load_image(img_path),
+                                      config.image_H, config.image_W)
+            else:
+                image = np.zeros((config.image_H, config.image_W, 3), np.float32)
+            raw, n_raw = pad_points(points, n_raw_pad)
+            t0 = time.perf_counter()
+            xyz_down, feats, n = extract(
+                jnp.asarray(raw), n_raw, jnp.asarray(image[None]))
+            n = int(n)
+            feats_np = np.asarray(feats)[:n]
+            dt = time.perf_counter() - t0
+            total_t += dt
+            count += 1
+            np.savez_compressed(
+                out_path,
+                points=points,                     # raw input points
+                xyz=np.asarray(xyz_down)[:n],      # voxel representatives
+                feature=feats_np,                  # descriptors
+            )
+    stats = {"all_time": total_t, "avg_time": total_t / max(count, 1), "count": count}
+    logging.info("All Time: %.3f, AVG: %.4f (%d fragments)",
+                 stats["all_time"], stats["avg_time"], stats["count"])
+    return stats
+
+
+def run_scene_matching(
+    scene_name: str,
+    seq_name: str,
+    desc_type: str,
+    desc_root: str,
+    out_root: str,
+    benchmark_dir: str,
+    config: Config,
+    inlier_thresh: float = 0.1,
+    register=None,
+    kpt_pad: Optional[int] = None,
+) -> Dict:
+    """Per gt.log pair registration + stats
+    (`scripts/evaluation_3dmatch.py:239-336`)."""
+    out_folder = osp.join(out_root, desc_type)
+    os.makedirs(out_folder, exist_ok=True)
+    out_filename = "{}-{}-{:.2f}".format(scene_name, seq_name, inlier_thresh)
+    result_path = osp.join(out_folder, out_filename + ".json")
+    if osp.isfile(result_path):
+        logging.info("%s exists, skipping", out_filename)
+        with open(result_path) as f:
+            return json.load(f)
+
+    poses = read_log(osp.join(benchmark_dir, scene_name, "gt.log"))
+    infos = read_info_file(osp.join(benchmark_dir, scene_name, "gt.info"))
+
+    if register is None:
+        register = make_pair_registration(
+            num_keypoints=config.num_rand_keypoints,
+            voxel_size=config.voxel_size,
+            ransac_n=config.ransac_n,
+            num_hypotheses=config.ransac_max_iteration,
+            inlier_thresh=inlier_thresh,
+        )
+    kpt_pad = kpt_pad or (1 << 15)
+
+    scene_dir = osp.join(desc_root, scene_name, seq_name)
+    frag_names = sorted(
+        {f[:-4] for f in os.listdir(scene_dir) if f.endswith(".npz")},
+        key=lambda n: int(n.split("_")[-1]),
+    )
+    frag_names = list(frag_names)
+
+    def load_frag(name):
+        d = np.load(osp.join(scene_dir, name + ".npz"))
+        xyz, feat = d["xyz"], d["feature"]
+        n = len(xyz)
+        xp = np.zeros((kpt_pad, 3), np.float32)
+        xp[:n] = xyz[:kpt_pad]
+        fp = np.zeros((kpt_pad, feat.shape[1]), np.float32)
+        fp[:n] = feat[:kpt_pad]
+        return jnp.asarray(xp), jnp.asarray(fp), min(n, kpt_pad)
+
+    results = []
+    for k, pose in enumerate(poses):
+        i, j, _ = pose.indices
+        x0, f0, n0 = load_frag(frag_names[i])
+        x1, f1, n1 = load_frag(frag_names[j])
+        out = register(
+            jax.random.PRNGKey(k), x0, f0, n0, x1, f1, n1,
+            jnp.asarray(pose.transformation.astype(np.float32)),
+            jnp.asarray(infos[k]["covariance"]),
+        )
+        results.append({
+            "frag1": frag_names[i],
+            "frag2": frag_names[j],
+            "num_inliers": float(out["num_inliers"]),
+            "inlier_ratio": float(out["inlier_ratio_mutual"]),
+            "gt_flag": 1,
+            "rr": float(out["rr"]),
+            "rre": float(out["rre"]),
+            "rte": float(out["rte"]),
+            "ir": float(out["ir"]),
+        })
+
+    payload = {
+        "register_results": results,
+        "scene_name": scene_name,
+        "seq_name": seq_name,
+        "desc_type": desc_type,
+        "inlier_thresh": inlier_thresh,
+        "num_pairs": len(poses),
+    }
+    with open(result_path, "w") as f:
+        json.dump(payload, f)
+    with open(osp.join(out_folder, out_filename + ".txt"), "w") as f:
+        for r in results:
+            f.write("{frag1} {frag2} {num_inliers} {inlier_ratio:.8f} "
+                    "{gt_flag} {rr} {rre} {rte} {ir}\n".format(**r))
+    return payload
+
+
+def compute_metrics(
+    scene_payloads: List[Dict],
+    config: Config,
+    out_root: str,
+    desc_type: str = "IMFNet",
+    inlier_thresh: float = 0.1,
+) -> Dict:
+    """Aggregate FMR (mean/std over scenes at τ2 thresholds), RR, RRE, RTE, IR
+    (`scripts/evaluation_3dmatch.py:338-498`). Writes CSV, prints summary."""
+    threshes = list(config.fmr_inlier_ratio_threshes)
+    all_recalls, all_inliers = [], []
+    total_rr, total_rre, total_rte, total_pairs = 0.0, 0.0, 0.0, 0
+    all_ir, scenes = [], []
+    for payload in scene_payloads:
+        rs = payload["register_results"]
+        scenes.append(payload["scene_name"])
+        ir = np.array([r["inlier_ratio"] for r in rs])
+        recalls = [float((ir > t).mean()) for t in threshes]
+        all_recalls.append(recalls)
+        all_inliers.append(float(np.mean([r["num_inliers"] for r in rs])))
+        total_rr += sum(r["rr"] for r in rs)
+        total_rre += sum(r["rre"] for r in rs)
+        total_rte += sum(r["rte"] for r in rs)
+        total_pairs += payload["num_pairs"]
+        all_ir.append(float(np.mean([r["ir"] for r in rs])))
+
+    avg_recalls = np.mean(np.asarray(all_recalls), axis=0)
+    std_recalls = np.std(np.asarray(all_recalls), axis=0)
+    rr = total_rr / max(total_pairs, 1)
+    rre = total_rre / max(total_rr, 1)
+    rte = total_rte / max(total_rr, 1)
+    ir = float(np.mean(all_ir))
+
+    out_path = osp.join(out_root, f"{desc_type}-metrics-{inlier_thresh:.2f}.csv")
+    os.makedirs(out_root, exist_ok=True)
+    with open(out_path, "w") as f:
+        header = "SceneName" + "".join(
+            f",Recall-{t:.2f},AverageMatches-{t:.2f}" for t in threshes)
+        f.write(header + "\n")
+        for s, recalls, inl in zip(scenes, all_recalls, all_inliers):
+            f.write(s + "".join(f",{r:.6f},{inl:.3f}" for r in recalls) + "\n")
+        f.write("Average" + "".join(
+            f",{r:.6f},{i:.3f}" for r, i in
+            zip(avg_recalls, [np.mean(all_inliers)] * len(threshes))) + "\n")
+
+    summary = {
+        "FMR": avg_recalls.tolist(),
+        "FMR_std": std_recalls.tolist(),
+        "registration_recall": rr,
+        "RRE": rre,
+        "RTE": rte,
+        "inlier_ratio": ir,
+        "threshes": threshes,
+        "num_pairs": total_pairs,
+    }
+    print(f"------- {desc_type} ---------")
+    print(f"FMR:{avg_recalls}")
+    print(f"STD:{std_recalls}")
+    print(f"Registration Recall:{rr}")
+    print(f"RRE:{rre}")
+    print(f"RTE:{rte}")
+    print(f"Inlier Ratio:{ir}")
+    print(f"------- {desc_type} ---------")
+    with open(osp.join(out_root, f"{desc_type}-summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def evaluate(
+    config: Config,
+    desc_root: str,
+    out_root: str,
+    benchmark_dir: str,
+    desc_type: str = "IMFNet",
+    scenes: Optional[List[str]] = None,
+    seq_name: str = "seq-01",
+) -> Dict:
+    """Full benchmark loop (`scripts/evaluation_3dmatch.py:501-553`)."""
+    scenes = scenes or TEST_SCENE_NAMES
+    register = make_pair_registration(
+        num_keypoints=config.num_rand_keypoints,
+        voxel_size=config.voxel_size,
+        ransac_n=config.ransac_n,
+        num_hypotheses=config.ransac_max_iteration,
+        inlier_thresh=config.inlier_thresh,
+    )
+    payloads = [
+        run_scene_matching(
+            s, seq_name, desc_type, desc_root, out_root, benchmark_dir,
+            config, config.inlier_thresh, register=register,
+        )
+        for s in scenes
+    ]
+    return compute_metrics(payloads, config, out_root, desc_type,
+                           config.inlier_thresh)
