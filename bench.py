@@ -67,7 +67,7 @@ def main():
     from imfnet_tpu.train.step import level_capacities, make_pyramid_fn
     from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-    config = threedmatch_config()
+    config = threedmatch_config(level_capacity_divisors=(1, 3, 8, 20))
     N_RAW = 1 << 18          # raw-point bucket (covers 3DMatch fragments)
     N_PAD = 1 << 15          # voxel bucket (32768 >= ~19k @ 2.5 cm)
 
@@ -78,6 +78,7 @@ def main():
         normalize_feature=config.normalize_feature,
         bn_momentum=config.bn_momentum,
         compute_dtype=jnp.bfloat16,
+        conv1_occupancy=True,
     )
 
     xyz0, xyz1, im0, im1, source = load_pair(config)

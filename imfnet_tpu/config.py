@@ -94,6 +94,10 @@ class Config:
     # voxel cells per fragment; fragments outside fall back to binary search.
     use_grid_maps: bool = True
     grid_extent: Tuple[int, int, int] = (256, 256, 256)
+    # Static per-UNet-level row capacities: level i holds max_points //
+    # divisor[i]. Surface data shrinks ~3.4x per stride-2; (1,2,4,8) is the
+    # safe default, (1,3,8,20) fits 3DMatch fragments with margin.
+    level_capacity_divisors: Tuple[int, int, int, int] = (1, 2, 4, 8)
     compute_dtype: str = "bfloat16"   # conv/attention compute dtype (f32 accum)
     param_dtype: str = "float32"
     data_parallel: int = 1            # device-mesh size over the pair axis

@@ -28,7 +28,18 @@ class SparseConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, nbr=None, out_mask=None):
+    def __call__(self, feats, nbr=None, out_mask=None, occupancy=False):
+        if occupancy and self.in_channels == 1:
+            # occupancy-1 inputs: conv = (neighbor-exists) @ W, one MXU matmul
+            w = self.param(
+                "kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                (self.kernel_volume, self.in_channels, self.out_channels),
+                jnp.float32,
+            )
+            exists = (nbr >= 0).astype(self.compute_dtype)
+            return jnp.dot(exists, w[:, 0, :].astype(self.compute_dtype),
+                           preferred_element_type=jnp.float32)
         if nbr is None:  # 1x1x1 convolution
             w = self.param(
                 "kernel",

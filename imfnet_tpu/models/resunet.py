@@ -49,6 +49,11 @@ class ResUNetIMF(nn.Module):
     image_channels: int = 128
     with_image: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Inference fast path: with occupancy-1 input features (the 3DMatch/KITTI
+    # configuration, `util/misc.py:76-77`), conv1 reduces to
+    # (neighbor-exists matrix) @ W — one MXU matmul instead of a K-step
+    # gather scan. Invalid when input features are jittered (training).
+    conv1_occupancy: bool = False
 
     @nn.compact
     def __call__(
@@ -84,7 +89,9 @@ class ResUNetIMF(nn.Module):
         # ---- encoder (model/resunet.py:168-186) ----
         k5_vol = self.conv1_kernel_size ** 3
         out = SparseConv(self.in_channels, ch[0], k5_vol, compute_dtype=dt,
-                         name="conv1")(sv.feats, pyramid.k5_l0)
+                         name="conv1")(
+            sv.feats, pyramid.k5_l0,
+            occupancy=self.conv1_occupancy and self.in_channels == 1)
         out = norm(out, 0, ch[0], "norm1")
         out_s1 = block(out, 0, ch[0], "block1")
 

@@ -47,10 +47,12 @@ class PairBatch(NamedTuple):
     T_gt: jax.Array       # [B,4,4]
 
 
-def level_capacities(n_pad: int) -> Tuple[int, int, int, int]:
+def level_capacities(
+    n_pad: int, divisors: Tuple[int, ...] = (1, 2, 4, 8)
+) -> Tuple[int, ...]:
     """Static per-level row capacities. Surface voxelization shrinks ~3-4x per
-    stride-2; /2 per level is a safe bound that still halves map cost."""
-    return (n_pad, max(n_pad // 2, 256), max(n_pad // 4, 256), max(n_pad // 8, 256))
+    stride-2; divisors trade padding waste against overflow margin."""
+    return tuple(max(n_pad // d, 256) for d in divisors)
 
 
 LOSS_FNS = {
@@ -64,7 +66,7 @@ LOSS_FNS = {
 def make_pyramid_fn(config: Config, n_pad: int, num_batches: int):
     """Coordinate-pyramid builder per config: dense-grid index (fast path,
     imfnet_tpu.sparse.grid) or exact binary search fallback."""
-    caps = level_capacities(n_pad)
+    caps = level_capacities(n_pad, tuple(config.level_capacity_divisors))
     if config.use_grid_maps:
         from imfnet_tpu.sparse.grid import GridSpec, build_pyramid_grid
 

@@ -45,11 +45,14 @@ class MetricsWriter:
         self._f.close()
 
 
-def build_model_from_config(config: Config, compute_dtype=None):
+def build_model_from_config(config: Config, compute_dtype=None,
+                            eval_fast: bool = False):
+    """eval_fast enables inference-only fast paths (occupancy conv1); the
+    param structure is unchanged, so checkpoints are interchangeable."""
     import jax.numpy as jnp
 
     dt = compute_dtype or getattr(jnp, config.compute_dtype)
-    return load_model(config.model)(
+    kw = dict(
         in_channels=config.in_channels,
         out_channels=config.model_n_out,
         conv1_kernel_size=config.conv1_kernel_size,
@@ -57,6 +60,10 @@ def build_model_from_config(config: Config, compute_dtype=None):
         bn_momentum=config.bn_momentum,
         compute_dtype=dt,
     )
+    factory = load_model(config.model)
+    if eval_fast and config.model.startswith("ResUNet") and config.in_channels == 1:
+        kw["conv1_occupancy"] = True
+    return factory(**kw)
 
 
 class Trainer:
