@@ -35,11 +35,11 @@ class VoxelizedPair:
 
 def voxelize_np(xyz: np.ndarray, voxel_size: float):
     """floor + first-occurrence unique (host mirror of sparse.coords.quantize;
-    semantics of `ME.utils.sparse_quantize`, `lib/data_loaders.py:290-295`)."""
-    v = np.floor(xyz / voxel_size).astype(np.int32)
-    _, sel = np.unique(v, axis=0, return_index=True)
-    sel = np.sort(sel)
-    return v[sel], sel
+    semantics of `ME.utils.sparse_quantize`, `lib/data_loaders.py:290-295`).
+    Uses the native hash dedup (native/host_ops.cpp) when built."""
+    from imfnet_tpu.utils.native import voxel_dedup
+
+    return voxel_dedup(xyz, voxel_size)
 
 
 def _pack_side(coords_list, xyz_list, feats_list, n_pad: int):
