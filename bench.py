@@ -125,11 +125,15 @@ def main():
     out = one_pair(jax.random.PRNGKey(0))
     _ = float(out["ir"])
 
+    # Honest timing: fetch a scalar result EVERY iteration. The device tunnel
+    # dedups/caches identical in-flight dispatches, so a fire-and-forget loop
+    # over the same inputs reports fantasy throughput; the per-iteration
+    # host read forces each pair's full chain to execute.
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         out = one_pair(jax.random.PRNGKey(i))
-    _ = float(out["ir"])  # forces the full chain
+        _ = float(out["ir"])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = iters / dt

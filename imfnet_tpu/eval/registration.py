@@ -19,7 +19,7 @@ from imfnet_tpu.match.metrics import (
     registration_error,
     transform_error,
 )
-from imfnet_tpu.match.nn import blocked_nn, mutual_nn
+from imfnet_tpu.match.nn import mutual_nn, nn_auto
 from imfnet_tpu.match.ransac import ransac_registration
 
 
@@ -50,7 +50,7 @@ def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.0
 
         # candidate correspondences: source keypoint → NN target keypoint in
         # descriptor space (o3d feature-matching RANSAC semantics)
-        nn01 = blocked_nn(kd0, kd1, ok1, block=4096)
+        nn01 = nn_auto(kd0, kd1, ok1, block=4096)[0]
         corr_dst = jnp.take(kp1, nn01, 0)
         res = ransac_registration(
             k2, kp0, corr_dst, ok0, distance_threshold,

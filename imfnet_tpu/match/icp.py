@@ -12,7 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from imfnet_tpu.match.nn import blocked_nn
+from imfnet_tpu.match.nn import nn_auto
 from imfnet_tpu.match.metrics import apply_transform
 from imfnet_tpu.match.procrustes import kabsch_umeyama
 
@@ -34,7 +34,7 @@ def icp_point_to_point(
 
     def body(_, T):
         moved = apply_transform(src, T)
-        idx, d2 = blocked_nn(moved, dst, dst_valid, block=block, with_dist=True)
+        idx, d2 = nn_auto(moved, dst, dst_valid, block=block)
         ok = src_valid & (d2 <= max_correspondence_distance**2)
         matched = jnp.take(dst, idx, axis=0)
         # fit on the ORIGINAL src so T is absolute, not incremental

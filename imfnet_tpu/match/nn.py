@@ -70,9 +70,30 @@ def blocked_nn(
     return best_i
 
 
+def use_pallas() -> bool:
+    """Pallas matching kernels on TPU; jnp fallback elsewhere (CPU tests)."""
+    return jax.default_backend() == "tpu"
+
+
+def nn_auto(
+    queries: jax.Array,
+    refs: jax.Array,
+    ref_valid: Optional[jax.Array] = None,
+    *,
+    block: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """(idx, d²) nearest valid reference per query — Pallas flash-NN kernel
+    on TPU (match.pallas_nn), blocked jnp scan elsewhere."""
+    if use_pallas():
+        from imfnet_tpu.match.pallas_nn import nn_pallas
+
+        return nn_pallas(queries, refs, ref_valid)
+    return blocked_nn(queries, refs, ref_valid, block=block, with_dist=True)
+
+
 def find_nn(f0, f1, valid1=None, block: int = 4096):
     """Descriptor NN, the `find_nn_gpu` contract (`lib/eval.py:18-48`)."""
-    return blocked_nn(f0, f1, valid1, block=block)
+    return nn_auto(f0, f1, valid1, block=block)[0]
 
 
 def mutual_nn(f0, f1, valid0=None, valid1=None, block: int = 4096):
@@ -80,8 +101,8 @@ def mutual_nn(f0, f1, valid0=None, valid1=None, block: int = 4096):
 
     Returns (nn01[N0], mutual[N0]) where mutual[i] = (nn10[nn01[i]] == i).
     """
-    nn01 = blocked_nn(f0, f1, valid1, block=block)
-    nn10 = blocked_nn(f1, f0, valid0, block=block)
+    nn01 = nn_auto(f0, f1, valid1, block=block)[0]
+    nn10 = nn_auto(f1, f0, valid0, block=block)[0]
     back = jnp.take(nn10, nn01)
     mutual = back == jnp.arange(f0.shape[0], dtype=nn01.dtype)
     if valid0 is not None:
@@ -105,6 +126,6 @@ def radius_match(
     pairs anyway (`lib/trainer.py:456-460`), so nearest-within-radius is the
     same supervision at a fraction of the cost. Returns (idx[N0], ok[N0]).
     """
-    idx, d2 = blocked_nn(xyz0, xyz1, valid1, block=block, with_dist=True)
+    idx, d2 = nn_auto(xyz0, xyz1, valid1, block=block)
     ok = valid0 & (d2 <= radius * radius)
     return idx, ok

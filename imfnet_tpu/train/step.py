@@ -141,9 +141,9 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     x1 = batch.xyz1 + (b1 * big)[:, None]
     # radius can be a traced scalar: radius_match jit-compiles with it static;
     # inline the blocked NN here instead to allow dynamic radius
-    from imfnet_tpu.match.nn import blocked_nn
+    from imfnet_tpu.match.nn import nn_auto
 
-    idx, d2 = blocked_nn(x0, x1, v1, block=4096, with_dist=True)
+    idx, d2 = nn_auto(x0, x1, v1, block=4096)
     ok = v0 & (d2 <= search_radius * search_radius)
     pairs = jnp.stack([jnp.arange(n0, dtype=jnp.int32), idx.astype(jnp.int32)], axis=1)
     return pairs, ok

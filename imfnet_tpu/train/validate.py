@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from imfnet_tpu.config import Config
 from imfnet_tpu.match.irls import est_rigid_irls
 from imfnet_tpu.match.metrics import apply_transform, corr_dist, registration_error
-from imfnet_tpu.match.nn import blocked_nn
+from imfnet_tpu.match.nn import nn_auto
 from imfnet_tpu.train.step import PairBatch, forward_pair
 
 
@@ -37,7 +37,7 @@ def make_val_step(model, config: Config, subsample_size: int = 5000):
         i1, ok1 = _subsample(k1, v1, subsample_size)
         sf0, sx0 = jnp.take(f0, i0, 0), jnp.take(batch.xyz0, i0, 0)
         sf1, sx1 = jnp.take(f1, i1, 0), jnp.take(batch.xyz1, i1, 0)
-        nn01 = blocked_nn(sf0, sf1, ok1, block=4096)
+        nn01 = nn_auto(sf0, sf1, ok1, block=4096)[0]
         x0c, x1c = sx0, jnp.take(sx1, nn01, 0)
 
         T_est = est_rigid_irls(x0c, x1c, valid=ok0)
