@@ -276,6 +276,46 @@ def compute_metrics(
     return summary
 
 
+def plot_recall_curve(
+    scene_payloads: List[Dict],
+    out_root: str,
+    desc_type: str = "IMFNet",
+    threshes: Optional[List[float]] = None,
+) -> str:
+    """FMR vs inlier-ratio-threshold curve, written as PDF
+    (`scripts/evaluation_3dmatch.py:450-498`). Falls back to a CSV of the
+    curve when matplotlib is unavailable."""
+    threshes = threshes or [round(0.01 * i, 2) for i in range(1, 21)]
+    irs = np.array([
+        r["inlier_ratio"] for p in scene_payloads for r in p["register_results"]
+    ])
+    recalls = [float((irs > t).mean()) for t in threshes]
+    os.makedirs(out_root, exist_ok=True)
+    csv_path = osp.join(out_root, f"{desc_type}-recall-curve.csv")
+    with open(csv_path, "w") as f:
+        f.write("tau2,recall\n")
+        for t, r in zip(threshes, recalls):
+            f.write(f"{t},{r:.6f}\n")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        logging.info("matplotlib unavailable; recall curve saved as CSV only")
+        return csv_path
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(threshes, recalls, marker="o", lw=1.5, label=desc_type)
+    ax.set_xlabel("inlier ratio threshold τ2")
+    ax.set_ylabel("feature match recall")
+    ax.set_ylim(0, 1.02)
+    ax.grid(alpha=0.3)
+    ax.legend()
+    pdf_path = osp.join(out_root, f"{desc_type}-recall-curve.pdf")
+    fig.savefig(pdf_path, bbox_inches="tight")
+    plt.close(fig)
+    return pdf_path
+
+
 def evaluate(
     config: Config,
     desc_root: str,
@@ -301,5 +341,6 @@ def evaluate(
         )
         for s in scenes
     ]
+    plot_recall_curve(payloads, out_root, desc_type)
     return compute_metrics(payloads, config, out_root, desc_type,
                            config.inlier_thresh)

@@ -1,21 +1,34 @@
 """Dense-grid coordinate index: O(1) kernel-map lookups.
 
-Motivation (measured on TPU v5e through this harness): XLA 1-D gathers run at
-~150M elem/s, so the binary-search kernel maps (34 dependent gathers per
-query) cost ~0.9 s per 16k-voxel fragment — they would dominate the forward
-pass. A fragment only spans a few hundred voxels per axis, so an exact dense
-int32 grid of row indices makes every kernel-map query ONE gather:
+Motivation (measured on the target TPU through this harness): XLA gathers are
+the pipeline bottleneck and their rate collapses with table size (~40M/s into
+a 67 MB table vs ~150M/s into a ≤10 MB one), so the binary-search kernel maps
+(34 dependent gathers per query) would dominate the forward pass and even a
+flat dense int32 row grid (256³ = 67 MB) pays the slow-table rate on every
+query.
 
-  grid[b, cx - ox, cy - oy, cz - oz] = row index (else -1)
+The index is therefore **bit-packed**: per level, a z-bitmask occupancy table
+plus an exclusive prefix-popcount ("rank") per 32-cell word,
 
-with per-batch origins o = min cell. Memory: a 256³ grid is 67 MB int32 —
-cheap against 16 GB HBM, freed after map construction. All shapes static;
-exactness is by construction (no hashing, no collisions).
+    word w = (b, cx, cy, cz >> 5)   bits[w] bit (cz & 31) = occupied
+    rank[w] = # occupied cells in words before w (scan order)
+
+Because level tables are kept in grid-scan order (= the SparseVoxels key
+order: lexicographic (batch, x, y, z)), the row index of an occupied cell is
+exactly ``rank[w] + popcount(bits[w] & below_bit)`` — no row grid at all.
+One [W,4] row-gather (bits of w and w+1, ranks of both) answers a whole
+column of kernel offsets (δz ∈ [-r, r] shares the 5-bit z-window), so a k³
+kernel map costs k² row-gathers per point instead of k³ scalar gathers, into
+a table ~32x smaller: measured ~5-8x faster kernel maps end-to-end.
 
 Static grid extents come from the dataset config (3DMatch: 256³ cells @2.5 cm
 = 6.4 m span; KITTI: 704x704x128 @30 cm = 211x211x38 m). Fragments larger
 than the extent fall back to the binary-search maps (imfnet_tpu.sparse
 .kernel_map) — same interface, same results.
+
+Preconditions for the rank trick (guaranteed by `quantize_grid` and
+`build.from_numpy`, asserted host-side via `fits_grid`): level-0 valid rows
+are unique, within the static extent, and in scan order.
 """
 from __future__ import annotations
 
@@ -120,7 +133,8 @@ def grid_lookup(
 
 def _offset_map(grid, origins, coords, valid, offsets: np.ndarray, spec, level,
                 check_alignment=False):
-    """nbr[N, K] via one batched grid lookup over all offsets."""
+    """nbr[N, K] via one batched grid lookup over all offsets (row-grid path,
+    kept for quantize-time self-lookups and as a simple oracle)."""
     offs = jnp.asarray(offsets, jnp.int32)  # [K,3]
     n = coords.shape[0]
     k = offs.shape[0]
@@ -131,6 +145,229 @@ def _offset_map(grid, origins, coords, valid, offsets: np.ndarray, spec, level,
     nbr = grid_lookup(grid, origins, queries, q_valid, spec, level,
                       check_alignment=check_alignment)
     return nbr.reshape(n, k)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed occupancy + rank index (the fast kernel-map path)
+# ---------------------------------------------------------------------------
+
+HALO = 2  # cells of slack on every axis: offset queries never bounds-check
+
+
+class PackedLevel(NamedTuple):
+    """Packed occupancy index of one level's coordinate table.
+
+    table[W, 4] int32: (bits[w], bits[w+1], rank[w], rank[w+1]) where w+1
+    entries are zeroed/duplicated at z-column boundaries so a 2-word window
+    never reads a neighboring (x, y) column.
+    """
+
+    table: jax.Array
+    dims: Tuple[int, int, int, int]  # (X, Y, Zc, Zw) halo'd cell dims
+
+
+def _packed_dims(spec: GridSpec, level: int) -> Tuple[int, int, int, int]:
+    e = spec.level_dims(level)
+    x, y, zc = e[0] + 2 * HALO, e[1] + 2 * HALO, e[2] + 2 * HALO
+    zw = -(-zc // 32)
+    return x, y, zc, zw
+
+
+def _rel_cells(coords: jax.Array, origins: jax.Array, level: int,
+               num_batches: int):
+    """(b, rel_cell[N,3]) of each row at ``level`` in the halo'd grid."""
+    b = jnp.clip(coords[:, 0], 0, num_batches - 1)
+    o = jnp.take(origins, b, axis=0) >> level
+    c = (coords[:, 1:] >> level) - o + HALO
+    return b, c
+
+
+def _exclusive_cumsum(x: jax.Array, chunk: int = 512) -> jax.Array:
+    """Exclusive prefix sum via a 2-D decomposition (a flat 1-D cumsum over
+    ~600k elements is a long latency-bound scan on TPU; row-wise cumsum over
+    [W/chunk, chunk] vectorizes across sublanes)."""
+    w = x.shape[0]
+    pad = (-w) % chunk
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, chunk)
+    within = jnp.cumsum(x2, axis=1)
+    row_tot = within[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot
+    out = within - x2 + row_off[:, None]
+    return out.reshape(-1)[:w]
+
+
+def pack_words(
+    coords: jax.Array,    # int32[N,4] unique rows (any order, in extent)
+    valid: jax.Array,
+    origins: jax.Array,   # int32[B,3] stride-1 voxel mins
+    spec: GridSpec,
+    level: int,
+):
+    """(bits uint32[W], rank int32[W]) occupancy words + exclusive prefix
+    popcount in scan order. Rows must be cell-unique (duplicate rows would
+    carry into neighboring bits)."""
+    x_d, y_d, zc_d, zw_d = _packed_dims(spec, level)
+    num_w = spec.num_batches * x_d * y_d * zw_d
+    b, c = _rel_cells(coords, origins, level, spec.num_batches)
+    in_r = (
+        valid
+        & (c >= 0).all(axis=1)
+        & (c[:, 0] < x_d) & (c[:, 1] < y_d) & (c[:, 2] < zc_d)
+    )
+    w = ((b * x_d + c[:, 0]) * y_d + c[:, 1]) * zw_d + (c[:, 2] >> 5)
+    w = jnp.where(in_r, w, num_w)
+    bit = (c[:, 2] & 31).astype(jnp.uint32)
+    bits = jnp.zeros((num_w + 1,), jnp.uint32).at[w].add(
+        jnp.uint32(1) << bit, mode="drop")[:num_w]
+    pc = jax.lax.population_count(bits).astype(jnp.int32)
+    rank = _exclusive_cumsum(pc)
+    return bits, rank
+
+
+def scan_position(
+    bits: jax.Array, rank: jax.Array,
+    coords: jax.Array, valid: jax.Array,
+    origins: jax.Array, spec: GridSpec, level: int,
+) -> jax.Array:
+    """Scan-order position of each row's own cell (-1 if absent/out-of-extent).
+    The compaction primitive behind scan-ordered level tables."""
+    x_d, y_d, zc_d, zw_d = _packed_dims(spec, level)
+    num_w = bits.shape[0]
+    b, c = _rel_cells(coords, origins, level, spec.num_batches)
+    in_r = (
+        valid
+        & (c >= 0).all(axis=1)
+        & (c[:, 0] < x_d) & (c[:, 1] < y_d) & (c[:, 2] < zc_d)
+    )
+    w = ((b * x_d + c[:, 0]) * y_d + c[:, 1]) * zw_d + (c[:, 2] >> 5)
+    w = jnp.clip(jnp.where(in_r, w, 0), 0, num_w - 1)
+    bw = jnp.take(bits, w)
+    rk = jnp.take(rank, w)
+    p = (c[:, 2] & 31).astype(jnp.uint32)
+    exists = ((bw >> p) & 1).astype(bool)
+    below = bw & ((jnp.uint32(1) << p) - 1)
+    pos = rk + jax.lax.population_count(below).astype(jnp.int32)
+    return jnp.where(in_r & exists, pos, -1)
+
+
+def pack_level(
+    coords: jax.Array,    # int32[N,4] level table (scan order, unique, in extent)
+    valid: jax.Array,
+    origins: jax.Array,   # int32[B,3] stride-1 voxel mins
+    spec: GridSpec,
+    level: int,
+) -> PackedLevel:
+    """Build the packed occupancy/rank index for one level table."""
+    x_d, y_d, zc_d, zw_d = _packed_dims(spec, level)
+    bits, rank = pack_words(coords, valid, origins, spec, level)
+    num_w = bits.shape[0]
+    pc = jax.lax.population_count(bits).astype(jnp.int32)
+    # w+1 companions; zero bits at the last word of each z-column so the
+    # 2-word window cannot leak into the next (x, y) column
+    last_in_col = (jnp.arange(num_w, dtype=jnp.int32) % zw_d) == zw_d - 1
+    bits1 = jnp.where(last_in_col, 0, jnp.roll(bits, -1))
+    rank1 = jnp.roll(rank, -1).at[-1].set(rank[-1] + pc[-1])
+    table = jnp.stack(
+        [bits.astype(jnp.int32), bits1.astype(jnp.int32), rank, rank1], axis=1
+    )
+    return PackedLevel(table, (x_d, y_d, zc_d, zw_d))
+
+
+def _window_rows(t4: jax.Array, zrel: jax.Array, zlo_w: jax.Array):
+    """Row index / existence of cell with z-cell ``zrel`` given the gathered
+    2-word window ``t4`` [N,4] anchored at word ``zlo_w``."""
+    sel = (zrel >> 5) - zlo_w           # 0 or 1
+    bits = jnp.where(sel == 0, t4[:, 0], t4[:, 1]).astype(jnp.uint32)
+    rank = jnp.where(sel == 0, t4[:, 2], t4[:, 3])
+    p = (zrel & 31).astype(jnp.uint32)
+    exists = ((bits >> p) & 1).astype(bool)
+    below = bits & ((jnp.uint32(1) << p) - 1)
+    row = rank + jax.lax.population_count(below).astype(jnp.int32)
+    return exists, row
+
+
+def packed_offset_map(
+    pt: PackedLevel,
+    origins: jax.Array,
+    coords: jax.Array,    # int32[N,4] query rows (at their own level's lattice)
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+    mode: str,            # 'same' | 'down' | 'up'
+) -> jax.Array:
+    """nbr[N, K] row indices into the packed level's table (K = kernel_size³,
+    offsets in itertools.product order, -1 = absent).
+
+    mode='same': queries on the table's own lattice, offsets of ±r cells.
+    mode='down': queries at a coarser level gather from this finer table;
+        offsets are ±r cells of the finer lattice (coarse coords are exact
+        multiples, so cell arithmetic is linear).
+    mode='up': queries at a finer level gather from this coarser table;
+        target coords c + δ·t may be off the coarse lattice — parity decides
+        both the cell (floor((m+δ)/2)) and existence (alignment).
+    """
+    x_d, y_d, _, zw_d = _packed_dims(spec, table_level)
+    r = kernel_size // 2
+    num_w = pt.table.shape[0]
+
+    if mode == "up":
+        # m = query coords on the FINE lattice (units of 2^(table_level-1));
+        # kept absolute because (a-b)>>1 != (a>>1)-(b>>1) in general
+        b = jnp.clip(coords[:, 0], 0, spec.num_batches - 1)
+        m = coords[:, 1:] >> (table_level - 1)
+        o_cell = jnp.take(origins, b, axis=0) >> table_level
+        oc_off = HALO
+    else:
+        b, base = _rel_cells(coords, origins, table_level, spec.num_batches)
+
+    base_ok = valid
+    if mode != "up":
+        x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
+        base_ok = (
+            valid
+            & (base >= r).all(axis=1)
+            & (base[:, 0] < x_hi - r) & (base[:, 1] < y_hi - r)
+            & (base[:, 2] < zc_hi - r)
+        )
+
+    cols = []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            if mode == "up":
+                cx = ((m[:, 0] + dx) >> 1) - o_cell[:, 0] + oc_off
+                cy = ((m[:, 1] + dy) >> 1) - o_cell[:, 1] + oc_off
+                zlo = ((m[:, 2] - r) >> 1) - o_cell[:, 2] + oc_off
+                x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
+                ok_xy = (
+                    valid
+                    & (cx >= 0) & (cx < x_hi) & (cy >= 0) & (cy < y_hi)
+                    & (zlo >= 0) & (zlo < zc_hi - 1)
+                )
+                ax = ((m[:, 0] + dx) & 1) == 0
+                ay = ((m[:, 1] + dy) & 1) == 0
+            else:
+                cx = base[:, 0] + dx
+                cy = base[:, 1] + dy
+                zlo = base[:, 2] - r
+                ok_xy = base_ok
+            zlo_w = zlo >> 5
+            w0 = ((b * x_d + cx) * y_d + cy) * zw_d + zlo_w
+            w0 = jnp.where(ok_xy, w0, 0)
+            w0 = jnp.clip(w0, 0, num_w - 1)
+            t4 = jnp.take(pt.table, w0, axis=0)
+            for dz in range(-r, r + 1):
+                if mode == "up":
+                    zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + oc_off
+                    aligned = ax & ay & (((m[:, 2] + dz) & 1) == 0)
+                else:
+                    zrel = base[:, 2] + dz
+                    aligned = True
+                exists, row = _window_rows(t4, zrel, zlo_w)
+                ok = ok_xy & exists & aligned
+                cols.append(jnp.where(ok, row, -1))
+    return jnp.stack(cols, axis=1)
 
 
 def quantize_grid(
@@ -145,8 +382,9 @@ def quantize_grid(
     """Sort-free voxel quantization via grid scatter-dedup (first-occurrence
     winner = min row, matching `ME.utils.sparse_quantize` semantics at
     `util/misc.py:83`). Points outside the grid extent are dropped — size
-    extents to the dataset. Output preserves input row order (so multi-batch
-    inputs pre-grouped by batch stay batch-contiguous).
+    extents to the dataset. Output rows are in **scan (key) order** —
+    lexicographic (batch, x, y, z), the SparseVoxels contract — computed via
+    the packed rank index rather than a sort.
 
     Returns (SparseVoxels, sel, xyz_down) like coords.quantize.
     """
@@ -161,15 +399,18 @@ def quantize_grid(
     rows = jnp.arange(n, dtype=jnp.int32)
     win = grid_lookup(g, origins, coords4, valid, spec, 0)
     keep = valid & (win == rows)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep & (pos < n_out), pos, n_out)
+    # scan position of each kept row = rank of its own cell
+    bits, rank = pack_words(coords4, keep, origins, spec, 0)
+    pos = scan_position(bits, rank, coords4, keep, origins, spec, 0)
+    kept = keep & (pos >= 0)
+    tgt = jnp.where(kept & (pos < n_out), pos, n_out)
     sel = jnp.full((n_out + 1,), -1, jnp.int32).at[tgt].set(rows, mode="drop")[:n_out]
     ok = sel >= 0
     ss = jnp.maximum(sel, 0)
     uniq = jnp.where(ok[:, None], jnp.take(coords4, ss, axis=0), PAD_COORD)
     f = jnp.where(ok[:, None], jnp.take(feats, ss, axis=0), 0)
     xyz_down = jnp.where(ok[:, None], jnp.take(xyz, ss, axis=0), 0.0)
-    n_uniq = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), n_out)
+    n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), n_out)
     return SparseVoxels(uniq, f, n_uniq), sel, xyz_down
 
 
@@ -191,13 +432,15 @@ def build_pyramid_grid(
     conv1_kernel_size: int = 5,
     level_capacity: Sequence[int] | None = None,
 ) -> CoordinatePyramid:
-    """Grid-backed pyramid, drop-in for kernel_map.build_pyramid.
+    """Packed-grid pyramid, drop-in for kernel_map.build_pyramid.
 
-    Coordinates outside the grid extent get no neighbors (callers should
-    choose extents that cover the dataset; `fits_grid` validates host-side).
-    Downsampled coordinate tables are also derived via the grid (scatter-
-    dedup + compaction), avoiding device sorts entirely — the compacted
-    order is grid-scan order, which is still batch-contiguous.
+    Requires level-0 valid rows unique, in scan (key) order, and inside the
+    static extent (`fits_grid` validates host-side; `quantize_grid` and
+    `build.from_numpy` guarantee it). Points outside the extent get no
+    neighbors. Downsampled tables are derived by sorted dedup — strided cells
+    of a scan-ordered table are monotone, so first-occurrence dedup is a
+    neighbor comparison, no grid or sort needed — and stay in scan order,
+    keeping rows batch-contiguous and the rank==row invariant at every level.
     """
     n0 = coords.shape[0]
     if level_capacity is None:
@@ -206,57 +449,59 @@ def build_pyramid_grid(
     valid0 = jnp.arange(n0) < num_valid
     origins = batch_origins(coords, valid0, spec.num_batches)
 
-    # --- per-level coordinate tables via grid dedup ---
+    # --- per-level coordinate tables: grid dedup + rank-ordered compaction.
+    # NOTE a neighbor-compare dedup on the strided parent table is WRONG:
+    # striding does not preserve lexicographic order (dropping x bits merges
+    # x-groups, re-exposing y/z comparisons), so winners must come from a
+    # grid and scan positions from the packed rank.
     tables = [(coords, num_valid)]
     for lvl in range(1, num_levels):
         prev_coords, prev_n = tables[-1]
         prev_valid = jnp.arange(prev_coords.shape[0]) < prev_n
-        stride = 1 << lvl
         strided = jnp.concatenate(
             [prev_coords[:, :1], (prev_coords[:, 1:] >> lvl) << lvl], axis=1
         )
         g = build_grid(strided, prev_valid, origins, spec, lvl)
-        # winner per occupied cell = the row that landed in the grid
         rows = jnp.arange(prev_coords.shape[0], dtype=jnp.int32)
         win = grid_lookup(g, origins, strided, prev_valid, spec, lvl)
         keep = prev_valid & (win == rows)
+        bits, rank = pack_words(strided, keep, origins, spec, lvl)
+        pos = scan_position(bits, rank, strided, keep, origins, spec, lvl)
+        kept = keep & (pos >= 0)
         cap = level_capacity[lvl]
-        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        tgt = jnp.where(keep & (pos < cap), pos, cap)
+        tgt = jnp.where(kept & (pos < cap), pos, cap)
         out = jnp.full((cap + 1, 4), PAD_COORD, jnp.int32)
         out = out.at[tgt].set(strided, mode="drop")
-        n_uniq = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), cap)
+        n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), cap)
         tables.append((out[:cap], n_uniq))
 
-    # --- grids + kernel maps per level ---
-    grids = []
+    packed = []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
-        grids.append(build_grid(c, v, origins, spec, lvl))
+        packed.append(pack_level(c, v, origins, spec, lvl))
 
     levels = []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
-        t = 1 << lvl
-        k3 = _offset_map(grids[lvl], origins, c, v,
-                         kernel_offsets(3) * t, spec, lvl)
+        k3 = packed_offset_map(packed[lvl], origins, c, v, spec,
+                               table_level=lvl, kernel_size=3, mode="same")
         down = None
         if lvl > 0:
-            # gather from the finer level: offsets in units of 2^(lvl-1)
-            down = _offset_map(grids[lvl - 1], origins, c, v,
-                               kernel_offsets(3) * (t >> 1), spec, lvl - 1)
+            down = packed_offset_map(packed[lvl - 1], origins, c, v, spec,
+                                     table_level=lvl - 1, kernel_size=3,
+                                     mode="down")
         up = None
         if lvl < num_levels - 1:
-            # gather from the coarser level; queries may be unaligned
-            up = _offset_map(grids[lvl + 1], origins, c, v,
-                             kernel_offsets(3) * t, spec, lvl + 1,
-                             check_alignment=True)
+            up = packed_offset_map(packed[lvl + 1], origins, c, v, spec,
+                                   table_level=lvl + 1, kernel_size=3,
+                                   mode="up")
         levels.append(LevelMaps(c, n, k3, down, up))
 
-    c0, _ = tables[0]
-    v0 = jnp.arange(c0.shape[0]) < tables[0][1]
-    k5 = _offset_map(grids[0], origins, c0, v0,
-                     kernel_offsets(conv1_kernel_size), spec, 0)
+    c0, n0v = tables[0]
+    v0 = jnp.arange(c0.shape[0]) < n0v
+    k5 = packed_offset_map(packed[0], origins, c0, v0, spec,
+                           table_level=0, kernel_size=conv1_kernel_size,
+                           mode="same")
     return CoordinatePyramid(tuple(levels), k5)

@@ -67,3 +67,66 @@ def load_config_from_checkpoint(path: str) -> Config:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return Config.from_json(json.dumps(meta["config"]))
+
+
+def migrate_checkpoint_keys(
+    path: str,
+    out_path: str,
+    renames: Dict[str, str],
+) -> int:
+    """Rename parameter-tree keys in a saved checkpoint (module renames
+    between framework versions). The analogue of the reference's checkpoint
+    key-migration shim (`lib/Test.py:5-26`, which rewrites
+    `perceiver_io.*` → `attention_fusion.*` in a .pth).
+
+    ``renames`` maps old key-path prefixes to new ones, '/'-joined (e.g.
+    ``{"params/perceiver_io": "params/attention_fusion"}``). Operates on the
+    raw msgpack dict so no model template is needed. Returns the number of
+    leaves moved.
+    """
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+
+    moved = 0
+
+    def rewrite(node, prefix=""):
+        """Rebuild the dict applying full-path renames (handles moves across
+        subtree boundaries, not just leaf renames)."""
+        nonlocal moved
+        flat = {}
+
+        def flatten(n, p):
+            for k, v in n.items():
+                kp = f"{p}/{k}" if p else k
+                if isinstance(v, dict):
+                    flatten(v, kp)
+                else:
+                    flat[kp] = v
+
+        flatten(node, prefix)
+        out: Dict[str, Any] = {}
+        for kp, v in flat.items():
+            new_kp = kp
+            for old, new in renames.items():
+                if kp == old or kp.startswith(old + "/"):
+                    new_kp = new + kp[len(old):]
+                    moved += 1
+                    break
+            cur = out
+            parts = new_kp.split("/")
+            for part in parts[:-1]:
+                cur = cur.setdefault(part, {})
+            cur[parts[-1]] = v
+        return out
+
+    new_tree = rewrite(tree)
+    os.makedirs(out_path, exist_ok=True)
+    with open(os.path.join(out_path, "state.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(new_tree))
+    meta_src = os.path.join(path, "meta.json")
+    if os.path.exists(meta_src):
+        with open(meta_src) as f:
+            meta = json.load(f)
+        with open(os.path.join(out_path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+    return moved
