@@ -69,7 +69,7 @@ def main():
 
     config = threedmatch_config(level_capacity_divisors=(1, 3, 8, 20))
     N_RAW = 1 << 18          # raw-point bucket (covers 3DMatch fragments)
-    N_PAD = 1 << 15          # voxel bucket (32768 >= ~19k @ 2.5 cm)
+    N_PAD_MAX = 1 << 15      # voxel capacity ceiling (32768 >= ~19k @ 2.5 cm)
 
     model = load_model(config.model)(
         in_channels=1,
@@ -89,8 +89,23 @@ def main():
     image0 = jnp.asarray(im0[None])
     image1 = jnp.asarray(im1[None])
 
-    # init params (jitted — eager init is minutes through the device tunnel)
+    # Probe the voxel count once and pick the shape bucket the whole run
+    # compiles at (scan-ordered quantize packs valid rows first, so the
+    # bucketed pipeline is a row slice; see eval.extract.make_bucketed_*).
     spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+
+    @jax.jit
+    def probe_fn(xyz, n):
+        valid = jnp.arange(N_RAW) < n
+        sv, _, _ = quantize_grid(xyz, jnp.ones((N_RAW, 1), jnp.float32), valid,
+                                 config.voxel_size, N_PAD_MAX, spec)
+        return sv.num_valid
+
+    n_vox = max(int(probe_fn(jnp.asarray(xyz0_raw), n0_raw)),
+                int(probe_fn(jnp.asarray(xyz1_raw), n1_raw)))
+    from imfnet_tpu.eval.extract import DEFAULT_BUCKETS
+    N_PAD = next((b for b in DEFAULT_BUCKETS if b >= n_vox), N_PAD_MAX)
+    print(f"# bench bucket: {n_vox} voxels -> n_pad {N_PAD}", file=sys.stderr)
     pyramid_fn = make_pyramid_fn(config, N_PAD, num_batches=1)
 
     @jax.jit

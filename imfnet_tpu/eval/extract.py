@@ -58,3 +58,71 @@ def make_extractor(model, variables, *, config: Config, n_pad: int,
         return xyz_down, feats, sv.num_valid
 
     return extract
+
+
+DEFAULT_BUCKETS = (8192, 16384, 24576, 32768, 49152, 65536)
+
+
+def make_bucketed_extractor(model, variables, *, config: Config,
+                            buckets=DEFAULT_BUCKETS,
+                            voxel_size: float | None = None):
+    """Shape-bucketed extraction: quantize once at the largest bucket, fetch
+    the (scalar) voxel count, then run the pyramid + forward at the smallest
+    bucket that holds it. Scan-ordered quantize output packs valid rows at
+    the front, so bucketing is a row slice — ~25-40% less padded work for
+    typical fragments (3DMatch ~19k voxels vs a fixed 32k pad; KITTI varies
+    10k-120k). One compile per bucket actually hit, persisted in the compile
+    cache.
+
+    Returns extract(xyz_raw, n_raw, image) → (xyz_down[n,3], feats[n,C])
+    numpy arrays trimmed to the valid count.
+    """
+    vox = voxel_size if voxel_size is not None else config.voxel_size
+    n_max = buckets[-1]
+    if config.use_grid_maps:
+        from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
+
+        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+
+        @jax.jit
+        def quantize_max(xyz_raw, n_raw):
+            valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+            feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+            sv, _, xyz_down = quantize_grid(xyz_raw, feats_in, valid, vox,
+                                            n_max, spec)
+            return sv, xyz_down
+    else:
+        @jax.jit
+        def quantize_max(xyz_raw, n_raw):
+            valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+            feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+            sv, _, xyz_down = quantize(xyz_raw, feats_in, valid, vox, n_max)
+            return sv, xyz_down
+
+    forward_by_bucket = {}
+
+    def forward_for(bucket: int):
+        if bucket not in forward_by_bucket:
+            pyramid_fn = make_pyramid_fn(config, bucket, num_batches=1)
+
+            @jax.jit
+            def fwd(coords, feats_in, n, image):
+                from imfnet_tpu.sparse.coords import SparseVoxels
+
+                sv = SparseVoxels(coords, feats_in, n)
+                pyr = pyramid_fn(coords, n)
+                return model.apply(variables, sv, pyr, image, train=False)
+
+            forward_by_bucket[bucket] = fwd
+        return forward_by_bucket[bucket]
+
+    def extract(xyz_raw, n_raw, image):
+        sv, xyz_down = quantize_max(jnp.asarray(xyz_raw), n_raw)
+        n = int(sv.num_valid)
+        bucket = next((b for b in buckets if b >= n), n_max)
+        fwd = forward_for(bucket)
+        feats = fwd(sv.coords[:bucket], sv.feats[:bucket],
+                    jnp.minimum(sv.num_valid, bucket), image)
+        return np.asarray(xyz_down)[:n], np.asarray(feats)[:n]
+
+    return extract

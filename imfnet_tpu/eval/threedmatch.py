@@ -25,7 +25,7 @@ from imfnet_tpu.config import Config
 from imfnet_tpu.geom.image import load_image, process_image
 from imfnet_tpu.geom.ply import read_ply
 from imfnet_tpu.geom.trajectory import read_info_file, read_log
-from imfnet_tpu.eval.extract import make_extractor, pad_points
+from imfnet_tpu.eval.extract import pad_points
 from imfnet_tpu.eval.registration import make_pair_registration
 
 TEST_SCENE_NAMES = [
@@ -66,12 +66,16 @@ def generate_descriptors(
     scenes: Optional[List[str]] = None,
     seq_name: str = "seq-01",
     n_raw_pad: int = 1 << 18,
-    n_pad: int = 1 << 15,
+    n_pad: int = 1 << 15,  # kept for API compat; bucketing supersedes it
 ) -> Dict[str, float]:
     """Walk test scenes; per fragment: PLY+image → extract → save
     `.npz{points, xyz, feature}` (`scripts/generate_desc.py:83-123`).
-    Returns timing stats ('All Time' / 'AVG' report, :190)."""
-    extract = make_extractor(model, variables, config=config, n_pad=n_pad)
+    Returns timing stats ('All Time' / 'AVG' report, :190). Extraction is
+    shape-bucketed: each fragment runs at the smallest padded size that
+    holds its voxel count."""
+    from imfnet_tpu.eval.extract import make_bucketed_extractor
+
+    extract = make_bucketed_extractor(model, variables, config=config)
     scenes = scenes or TEST_SCENE_NAMES
     total_t, count = 0.0, 0
     for scene in scenes:
@@ -97,18 +101,15 @@ def generate_descriptors(
                 image = np.zeros((config.image_H, config.image_W, 3), np.float32)
             raw, n_raw = pad_points(points, n_raw_pad)
             t0 = time.perf_counter()
-            xyz_down, feats, n = extract(
-                jnp.asarray(raw), n_raw, jnp.asarray(image[None]))
-            n = int(n)
-            feats_np = np.asarray(feats)[:n]
+            xyz_down, feats = extract(raw, n_raw, jnp.asarray(image[None]))
             dt = time.perf_counter() - t0
             total_t += dt
             count += 1
             np.savez_compressed(
                 out_path,
-                points=points,                     # raw input points
-                xyz=np.asarray(xyz_down)[:n],      # voxel representatives
-                feature=feats_np,                  # descriptors
+                points=points,      # raw input points
+                xyz=xyz_down,       # voxel representatives
+                feature=feats,      # descriptors
             )
     stats = {"all_time": total_t, "avg_time": total_t / max(count, 1), "count": count}
     logging.info("All Time: %.3f, AVG: %.4f (%d fragments)",

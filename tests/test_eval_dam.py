@@ -133,3 +133,22 @@ def test_synthetic_loader():
     assert b.coords0.shape == (4096, 4)
     assert int(b.n0) > 0 and int(b.n1) > 0
     assert b.image0.shape[0] == 2
+
+
+def test_bucketed_extractor_matches_fixed(setup):
+    from imfnet_tpu.eval.extract import make_bucketed_extractor, make_extractor
+
+    config, model, variables, pair, n_raw_pad, *_ = setup
+    fixed = make_extractor(model, variables, config=config,
+                           n_pad=config.max_points)
+    bucketed = make_bucketed_extractor(
+        model, variables, config=config,
+        buckets=(1024, 2048, config.max_points))
+    raw0, n0 = pad_points(pair.xyz0, n_raw_pad)
+    img = jnp.zeros((1, 24, 32, 3), jnp.float32)
+    xd_f, f_f, nv = fixed(jnp.asarray(raw0), n0, img)
+    nv = int(nv)
+    xd_b, f_b = bucketed(raw0, n0, img)
+    assert len(xd_b) == nv
+    np.testing.assert_allclose(np.asarray(xd_f)[:nv], xd_b, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_f)[:nv], f_b, rtol=2e-3, atol=2e-4)
