@@ -130,25 +130,29 @@ def main():
     xyz0_raw = jnp.asarray(xyz0_raw)
     xyz1_raw = jnp.asarray(xyz1_raw)
 
-    def one_pair(key):
-        x0, f0, m0 = extract(xyz0_raw, n0_raw, image0)
-        x1, f1, m1 = extract(xyz1_raw, n1_raw, image1)
+    @jax.jit
+    def one_pair(key, eps):
+        # eps chains each pair to the previous pair's OUTPUT: iterations form
+        # a real dataflow chain the device must execute sequentially and
+        # completely (the tunnel's block_until_ready returns early and
+        # independent dispatches overlap, so an unchained loop measures
+        # dispatch rate, not compute). Dispatch cost itself pipelines, which
+        # is the production streaming behavior.
+        x0, f0, m0 = extract(xyz0_raw + eps, n0_raw, image0)
+        x1, f1, m1 = extract(xyz1_raw + eps, n1_raw, image1)
         return register(key, x0, f0, m0, x1, f1, m1, T_gt, cov)
 
-    # warmup / compile; force a real host read (the device tunnel's
-    # block_until_ready can return before execution completes)
-    out = one_pair(jax.random.PRNGKey(0))
+    # warmup / compile; force a real host read
+    out = one_pair(jax.random.PRNGKey(0), jnp.float32(0.0))
     _ = float(out["ir"])
 
-    # Honest timing: fetch a scalar result EVERY iteration. The device tunnel
-    # dedups/caches identical in-flight dispatches, so a fire-and-forget loop
-    # over the same inputs reports fantasy throughput; the per-iteration
-    # host read forces each pair's full chain to execute.
     iters = 20
     t0 = time.perf_counter()
+    eps = jnp.float32(0.0)
     for i in range(iters):
-        out = one_pair(jax.random.PRNGKey(i))
-        _ = float(out["ir"])
+        out = one_pair(jax.random.PRNGKey(i), eps)
+        eps = out["rte"] * jnp.float32(1e-12)  # device-side dependency link
+    _ = float(out["ir"])  # one final fetch drains the whole chain
     dt = time.perf_counter() - t0
 
     pairs_per_sec = iters / dt

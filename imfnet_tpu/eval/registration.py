@@ -19,16 +19,24 @@ from imfnet_tpu.match.metrics import (
     registration_error,
     transform_error,
 )
-from imfnet_tpu.match.nn import mutual_nn, nn_auto
+from imfnet_tpu.match.nn import nn_auto
 from imfnet_tpu.match.ransac import ransac_registration
 
 
 def sample_keypoints(key, valid: jax.Array, k: int):
-    """k distinct random valid rows (`evaluation_3dmatch.py:154-156`)."""
-    scores = jax.random.uniform(key, valid.shape)
-    scores = jnp.where(valid, scores, -1.0)
-    top, idx = jax.lax.top_k(scores, k)
-    return idx.astype(jnp.int32), top >= 0.0
+    """k distinct random valid rows (`evaluation_3dmatch.py:154-156`).
+
+    Valid rows are packed at the front (SparseVoxels scan-order contract), so
+    stratified jittered sampling over [0, n_valid) gives k distinct rows with
+    no sort — `lax.top_k` over the padded row count costs tens of ms on TPU
+    and dominated the whole registration step."""
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    u = jax.random.uniform(key, (k,))
+    pos = (((jnp.arange(k, dtype=jnp.float32) + u) * n_valid) / k).astype(jnp.int32)
+    pos = jnp.minimum(pos, jnp.maximum(n_valid - 1, 0))
+    distinct = jnp.concatenate(
+        [jnp.ones((1,), bool), pos[1:] != pos[:-1]])  # pos is non-decreasing
+    return pos, distinct & (n_valid > 0)
 
 
 def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
@@ -68,8 +76,11 @@ def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.0
         ir = inlier_ratio(kp1_in0, kp1, T_gt, valid=ok1,
                           positive_radius=inlier_thresh)
 
-        # mutual-NN FMR inlier ratio (`evaluation_3dmatch.py:207-236`)
-        nn10, mutual = mutual_nn(kd1, kd0, ok1, ok0)
+        # mutual-NN FMR inlier ratio (`evaluation_3dmatch.py:207-236`);
+        # reuse nn01 from the candidate-correspondence pass (one NN saved)
+        nn10 = nn_auto(kd1, kd0, ok0)[0]
+        back = jnp.take(nn01, nn10)
+        mutual = (back == jnp.arange(kd1.shape[0], dtype=nn10.dtype)) & ok1
         m0 = jnp.take(kp0, nn10, 0)     # matched kpts in frame 0
         moved1 = apply_transform(kp1, T_gt)  # pose maps 1→0 in gt.log convention
         d = jnp.linalg.norm(m0 - moved1, axis=-1)
