@@ -60,7 +60,8 @@ def make_extractor(model, variables, *, config: Config, n_pad: int,
     return extract
 
 
-DEFAULT_BUCKETS = (8192, 16384, 24576, 32768, 49152, 65536)
+DEFAULT_BUCKETS = (8192, 12288, 16384, 20480, 24576, 28672, 32768,
+                   40960, 49152, 65536)
 
 
 def make_bucketed_extractor(model, variables, *, config: Config,

@@ -66,6 +66,18 @@ def ransac_registration(
     dst = dst.astype(jnp.float32)
     comp, n_valid = _compact_valid(valid)
 
+    # Validation subset: every hypothesis is scored on a stratified subset of
+    # the valid correspondences (o3d's criteria validate at most 1000
+    # candidates, `scripts/benchmark_util.py:30-33`); only per-block winners
+    # get a full count below. Subset inlier fraction at 512 samples ranks
+    # hypotheses within ~2% — far tighter than the gap RANSAC needs.
+    n_subset = min(512, c)
+    sub_rows = jnp.take(
+        comp, (jnp.arange(n_subset) * jnp.maximum(n_valid, 1)) // n_subset)
+    sub_src = jnp.take(src, sub_rows, axis=0)
+    sub_dst = jnp.take(dst, sub_rows, axis=0)
+    sub_valid = jnp.take(valid, sub_rows)
+
     def eval_block(key_b):
         # --- sample ransac_n distinct-ish correspondences per hypothesis ---
         r = jax.random.randint(key_b, (hypo_block, ransac_n), 0, jnp.maximum(n_valid, 1))
@@ -91,10 +103,10 @@ def ransac_registration(
             jnp.linalg.norm(moved - d, axis=-1) <= distance_threshold, axis=-1
         )
         ok = edge_ok & samp_ok
-        # --- full inlier count / rmse over all valid correspondences ---
-        moved_all = apply_transform(src[None], T)    # [B,C,3]
-        d2 = jnp.sum((moved_all - dst[None]) ** 2, axis=-1)
-        inl = (d2 <= distance_threshold**2) & valid[None, :]
+        # --- subset inlier count / rmse ---
+        moved_sub = apply_transform(sub_src[None], T)   # [B,S,3]
+        d2 = jnp.sum((moved_sub - sub_dst[None]) ** 2, axis=-1)
+        inl = (d2 <= distance_threshold**2) & sub_valid[None, :]
         count = jnp.sum(inl, axis=1)
         rmse = jnp.sqrt(
             jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
@@ -111,15 +123,16 @@ def ransac_registration(
 
     n_blocks = -(-num_hypotheses // hypo_block)
     keys = jax.random.split(key, n_blocks)
+    block_scores, block_Ts = jax.lax.map(eval_block, keys)  # [nb], [nb,4,4]
 
-    def scan_step(best, key_b):
-        best_score, best_T = best
-        s, T = eval_block(key_b)
-        better = s > best_score
-        return (jnp.where(better, s, best_score), jnp.where(better, T, best_T)), None
-
-    init = (jnp.float32(-jnp.inf), jnp.eye(4, dtype=jnp.float32))
-    (_, best_T), _ = jax.lax.scan(scan_step, init, keys)
+    # full validation of the block winners: the finalist with the highest
+    # exact inlier count wins
+    moved_all = apply_transform(src[None], block_Ts)        # [nb,C,3]
+    d2_all = jnp.sum((moved_all - dst[None]) ** 2, axis=-1)
+    full_counts = jnp.sum(
+        (d2_all <= distance_threshold**2) & valid[None, :], axis=1)
+    full_counts = jnp.where(block_scores > 0, full_counts, -1)
+    best_T = block_Ts[jnp.argmax(full_counts)]
 
     # final inliers + optional least-squares refit (improves on o3d, which
     # returns the raw best sample model in 0.12)
