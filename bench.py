@@ -60,8 +60,11 @@ def load_pair(config):
 
 def main():
     from imfnet_tpu.config import threedmatch_config
-    from imfnet_tpu.eval.extract import make_extractor, pad_points
-    from imfnet_tpu.eval.registration import make_pair_registration
+    from imfnet_tpu.eval.extract import pad_points
+    from imfnet_tpu.eval.registration import (
+        make_keypoint_registration,
+        sample_keypoints_segment,
+    )
     from imfnet_tpu.models import load_model
     from imfnet_tpu.sparse.coords import SparseVoxels
     from imfnet_tpu.train.step import level_capacities, make_pyramid_fn
@@ -89,46 +92,69 @@ def main():
     image0 = jnp.asarray(im0[None])
     image1 = jnp.asarray(im1[None])
 
-    # Probe the voxel count once and pick the shape bucket the whole run
-    # compiles at (scan-ordered quantize packs valid rows first, so the
-    # bucketed pipeline is a row slice; see eval.extract.make_bucketed_*).
-    spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+    # Both fragments run as ONE 2-batch program: one voxelize (batch column
+    # keeps fragments apart), one coordinate pyramid, one model forward with
+    # images [2,H,W,3] — shared dispatch + better MXU utilization than two
+    # B=1 extracts. Probe the voxel counts once to pick the shape bucket.
+    spec = GridSpec(extent=tuple(config.grid_extent), num_batches=2)
+    xyz_cat = np.concatenate([xyz0_raw, xyz1_raw])          # [2*N_RAW, 3]
+    bidx = np.repeat(np.array([0, 1], np.int32), N_RAW)
+    n_cat_valid = np.zeros(2 * N_RAW, bool)
+    n_cat_valid[:n0_raw] = True
+    n_cat_valid[N_RAW:N_RAW + n1_raw] = True
+    images = jnp.concatenate([image0, image1], axis=0)      # [2,H,W,3]
 
     @jax.jit
-    def probe_fn(xyz, n):
-        valid = jnp.arange(N_RAW) < n
-        sv, _, _ = quantize_grid(xyz, jnp.ones((N_RAW, 1), jnp.float32), valid,
-                                 config.voxel_size, N_PAD_MAX, spec)
-        return sv.num_valid
+    def probe_fn(xyz):
+        sv, _, _ = quantize_grid(xyz, jnp.ones((2 * N_RAW, 1), jnp.float32),
+                                 jnp.asarray(n_cat_valid), config.voxel_size,
+                                 2 * N_PAD_MAX, spec, batch_index=jnp.asarray(bidx))
+        counts = jnp.zeros((3,), jnp.int32).at[
+            jnp.clip(sv.coords[:, 0], 0, 2)].add(
+            (jnp.arange(2 * N_PAD_MAX) < sv.num_valid).astype(jnp.int32))
+        return counts[:2]
 
-    n_vox = max(int(probe_fn(jnp.asarray(xyz0_raw), n0_raw)),
-                int(probe_fn(jnp.asarray(xyz1_raw), n1_raw)))
+    counts = np.asarray(probe_fn(jnp.asarray(xyz_cat)))
     from imfnet_tpu.eval.extract import DEFAULT_BUCKETS
-    N_PAD = next((b for b in DEFAULT_BUCKETS if b >= n_vox), N_PAD_MAX)
-    print(f"# bench bucket: {n_vox} voxels -> n_pad {N_PAD}", file=sys.stderr)
-    pyramid_fn = make_pyramid_fn(config, N_PAD, num_batches=1)
+    n_vox = int(counts.sum())
+    N_PAD2 = next((b * 2 for b in DEFAULT_BUCKETS if 2 * b >= n_vox),
+                  2 * N_PAD_MAX)
+    print(f"# bench bucket: {counts.tolist()} voxels -> 2-batch pad {N_PAD2}",
+          file=sys.stderr)
+    caps = level_capacities(N_PAD2, tuple(config.level_capacity_divisors))
+    pyramid_fn = make_pyramid_fn(config, N_PAD2, num_batches=2)
+
+    @jax.jit
+    def extract_pair(xyz):
+        sv, _, xyz_down = quantize_grid(
+            xyz, jnp.ones((2 * N_RAW, 1), jnp.float32),
+            jnp.asarray(n_cat_valid), config.voxel_size, N_PAD2, spec,
+            batch_index=jnp.asarray(bidx))
+        pyr = pyramid_fn(sv.coords, sv.num_valid)
+        feats = model.apply(variables, sv, pyr, images, train=False)
+        return sv, xyz_down, feats
 
     @jax.jit
     def init_fn(xyz):
-        valid = jnp.arange(N_RAW) < n0_raw
-        sv, _, _ = quantize_grid(xyz, jnp.ones((N_RAW, 1), jnp.float32), valid,
-                                 config.voxel_size, N_PAD, spec)
+        sv, _, _ = quantize_grid(
+            xyz, jnp.ones((2 * N_RAW, 1), jnp.float32),
+            jnp.asarray(n_cat_valid), config.voxel_size, N_PAD2, spec,
+            batch_index=jnp.asarray(bidx))
         pyr = pyramid_fn(sv.coords, sv.num_valid)
-        return model.init(jax.random.PRNGKey(0), sv, pyr, image0, train=False)
+        return model.init(jax.random.PRNGKey(0), sv, pyr, images, train=False)
 
-    variables = init_fn(jnp.asarray(xyz0_raw))
+    variables = init_fn(jnp.asarray(xyz_cat))
 
-    extract = make_extractor(model, variables, config=config, n_pad=N_PAD)
-    register = make_pair_registration(
-        num_keypoints=config.num_rand_keypoints, voxel_size=config.voxel_size,
-        ransac_n=config.ransac_n, num_hypotheses=config.ransac_max_iteration,
+    register_kp = make_keypoint_registration(
+        voxel_size=config.voxel_size, ransac_n=config.ransac_n,
+        num_hypotheses=config.ransac_max_iteration,
         inlier_thresh=config.inlier_thresh,
     )
+    K = config.num_rand_keypoints
 
     T_gt = jnp.eye(4, dtype=jnp.float32)
     cov = jnp.eye(6, dtype=jnp.float32)
-    xyz0_raw = jnp.asarray(xyz0_raw)
-    xyz1_raw = jnp.asarray(xyz1_raw)
+    xyz_cat = jnp.asarray(xyz_cat)
 
     @jax.jit
     def one_pair(key, eps):
@@ -138,9 +164,17 @@ def main():
         # independent dispatches overlap, so an unchained loop measures
         # dispatch rate, not compute). Dispatch cost itself pipelines, which
         # is the production streaming behavior.
-        x0, f0, m0 = extract(xyz0_raw + eps, n0_raw, image0)
-        x1, f1, m1 = extract(xyz1_raw + eps, n1_raw, image1)
-        return register(key, x0, f0, m0, x1, f1, m1, T_gt, cov)
+        sv, xyz_down, feats = extract_pair(xyz_cat + eps)
+        # scan order packs fragment 0's rows before fragment 1's
+        n0 = jnp.sum((sv.coords[:, 0] == 0).astype(jnp.int32)
+                     * sv.mask().astype(jnp.int32))
+        n_all = sv.num_valid
+        k0, k1, k2 = jax.random.split(key, 3)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K)
+        i1, ok1 = sample_keypoints_segment(k1, n0, n_all - n0, K)
+        kp0, kd0 = jnp.take(xyz_down, i0, 0), jnp.take(feats, i0, 0)
+        kp1, kd1 = jnp.take(xyz_down, i1, 0), jnp.take(feats, i1, 0)
+        return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)
 
     # warmup / compile; force a real host read
     out = one_pair(jax.random.PRNGKey(0), jnp.float32(0.0))

@@ -23,6 +23,17 @@ from imfnet_tpu.match.nn import nn_auto
 from imfnet_tpu.match.ransac import ransac_registration
 
 
+def sample_keypoints_segment(key, start, count, k: int):
+    """k distinct random rows from the contiguous segment
+    [start, start+count) — stratified jittered sampling, no sort."""
+    u = jax.random.uniform(key, (k,))
+    pos = (((jnp.arange(k, dtype=jnp.float32) + u) * count) / k).astype(jnp.int32)
+    pos = jnp.minimum(pos, jnp.maximum(count - 1, 0))
+    distinct = jnp.concatenate(
+        [jnp.ones((1,), bool), pos[1:] != pos[:-1]])  # pos is non-decreasing
+    return start + pos, distinct & (count > 0)
+
+
 def sample_keypoints(key, valid: jax.Array, k: int):
     """k distinct random valid rows (`evaluation_3dmatch.py:154-156`).
 
@@ -31,31 +42,19 @@ def sample_keypoints(key, valid: jax.Array, k: int):
     no sort — `lax.top_k` over the padded row count costs tens of ms on TPU
     and dominated the whole registration step."""
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    u = jax.random.uniform(key, (k,))
-    pos = (((jnp.arange(k, dtype=jnp.float32) + u) * n_valid) / k).astype(jnp.int32)
-    pos = jnp.minimum(pos, jnp.maximum(n_valid - 1, 0))
-    distinct = jnp.concatenate(
-        [jnp.ones((1,), bool), pos[1:] != pos[:-1]])  # pos is non-decreasing
-    return pos, distinct & (n_valid > 0)
+    return sample_keypoints_segment(key, 0, n_valid, k)
 
 
-def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
-                           ransac_n: int = 3, num_hypotheses: int = 50000,
-                           inlier_thresh: float = 0.1, hypo_block: int = 2048):
-    """Returns jitted register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, cov) →
-    metrics dict {rr, rre, rte, ir, inlier_ratio_mutual, num_inliers, fitness}."""
+def make_keypoint_registration(*, voxel_size: float = 0.025,
+                               ransac_n: int = 3, num_hypotheses: int = 50000,
+                               inlier_thresh: float = 0.1,
+                               hypo_block: int = 2048):
+    """register_kp(key, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov) on
+    pre-sampled keypoints — the core of the per-pair evaluation, reusable
+    when keypoints come from a batched (multi-fragment) extraction."""
     distance_threshold = voxel_size * 1.5
 
-    @jax.jit
-    def register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, covariance):
-        k0, k1, k2 = jax.random.split(key, 3)
-        v0 = jnp.arange(xyz0.shape[0]) < n0
-        v1 = jnp.arange(xyz1.shape[0]) < n1
-        i0, ok0 = sample_keypoints(k0, v0, num_keypoints)
-        i1, ok1 = sample_keypoints(k1, v1, num_keypoints)
-        kp0, kd0 = jnp.take(xyz0, i0, 0), jnp.take(f0, i0, 0)
-        kp1, kd1 = jnp.take(xyz1, i1, 0), jnp.take(f1, i1, 0)
-
+    def register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, covariance):
         # candidate correspondences: source keypoint → NN target keypoint in
         # descriptor space (o3d feature-matching RANSAC semantics)
         nn01 = nn_auto(kd0, kd1, ok1, block=4096)[0]
@@ -99,5 +98,29 @@ def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.0
             "fitness": res.fitness,
             "transformation": es_T,
         }
+
+    return register_kp
+
+
+def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
+                           ransac_n: int = 3, num_hypotheses: int = 50000,
+                           inlier_thresh: float = 0.1, hypo_block: int = 2048):
+    """Returns jitted register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, cov) →
+    metrics dict {rr, rre, rte, ir, inlier_ratio_mutual, num_inliers, fitness}."""
+    register_kp = make_keypoint_registration(
+        voxel_size=voxel_size, ransac_n=ransac_n,
+        num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh,
+        hypo_block=hypo_block)
+
+    @jax.jit
+    def register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, covariance):
+        k0, k1, k2 = jax.random.split(key, 3)
+        v0 = jnp.arange(xyz0.shape[0]) < n0
+        v1 = jnp.arange(xyz1.shape[0]) < n1
+        i0, ok0 = sample_keypoints(k0, v0, num_keypoints)
+        i1, ok1 = sample_keypoints(k1, v1, num_keypoints)
+        kp0, kd0 = jnp.take(xyz0, i0, 0), jnp.take(f0, i0, 0)
+        kp1, kd1 = jnp.take(xyz1, i1, 0), jnp.take(f1, i1, 0)
+        return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, covariance)
 
     return register
