@@ -111,7 +111,6 @@ def cmd_dam(args):
     from imfnet_tpu.eval.extract import pad_points
     from imfnet_tpu.geom.image import load_image, process_image
     from imfnet_tpu.geom.ply import read_ply
-    from imfnet_tpu.sparse.coords import SparseVoxels
     from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
     from imfnet_tpu.train.step import make_pyramid_fn
 

@@ -21,7 +21,6 @@ a single compiled program.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

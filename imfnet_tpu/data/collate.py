@@ -9,7 +9,7 @@ static padding.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax.numpy as jnp

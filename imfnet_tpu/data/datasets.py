@@ -23,7 +23,7 @@ import os
 import pathlib
 import queue
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ so kernel-map/pyramid capacities behave realistically.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+
 
 import numpy as np
 

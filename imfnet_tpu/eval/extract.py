@@ -7,7 +7,6 @@ raw point array to a static bucket.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -7,8 +7,6 @@ test, RRE/RTE, mutual-NN inlier ratio for FMR.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

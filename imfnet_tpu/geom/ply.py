@@ -6,7 +6,7 @@ binary_little_endian PLYs with x/y/z plus optional normals and colors.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ ICP (`lib/data_loaders.py:540-543` GT refinement equivalent).
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +83,7 @@ def kabsch_umeyama(
     src: jax.Array,   # [.., N, 3]
     dst: jax.Array,   # [.., N, 3]
     weights: jax.Array | None = None,  # [.., N] (>=0)
-    power_iters: int = 30,
+    power_iters: int = 16,
 ) -> jax.Array:
     """Weighted least-squares rigid transform T (4x4, batched) with
     T @ src ≈ dst. Degenerate inputs yield a valid (if arbitrary) rotation —
@@ -123,8 +122,9 @@ def kabsch_umeyama(
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     R = quat_to_rotmat(q)
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
-    T = jnp.zeros(K.shape[:-2] + (4, 4), f32)
-    T = T.at[..., :3, :3].set(R)
-    T = T.at[..., :3, 3].set(t)
-    T = T.at[..., 3, 3].set(1.0)
-    return T
+    # assemble by concatenation — .at[].set lowers to dynamic-update-slice,
+    # which profiled as 2/3 of the whole batched-Kabsch cost
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], f32), K.shape[:-2] + (1, 4))
+    return jnp.concatenate(
+        [jnp.concatenate([R, t[..., :, None]], axis=-1), bottom], axis=-2)

@@ -16,7 +16,7 @@ validated against all correspondences (o3d validates at most 1000 candidates).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,7 @@ def ransac_registration(
     ransac_n: int = 3,
     num_hypotheses: int = 50000,
     edge_length_ratio: float = 0.9,
-    hypo_block: int = 2048,
+    hypo_block: int = 12500,
     refine: bool = True,
 ) -> RansacResult:
     c = src.shape[0]
@@ -95,8 +95,10 @@ def ransac_registration(
             | ~off_diag,
             axis=(1, 2),
         )
-        # degenerate duplicate picks → zero edges fail the checker already
-        T = kabsch_umeyama(s, d)                     # [B,4,4]
+        # degenerate duplicate picks → zero edges fail the checker already.
+        # 3-point fits need few power iterations — bad hypotheses are culled
+        # by the checkers and the winner is refit over its full inlier set
+        T = kabsch_umeyama(s, d, power_iters=10)     # [B,4,4]
         # --- distance checker on the sampled correspondences ---
         moved = apply_transform(s, T)
         samp_ok = jnp.all(
@@ -123,7 +125,11 @@ def ransac_registration(
 
     n_blocks = -(-num_hypotheses // hypo_block)
     keys = jax.random.split(key, n_blocks)
-    block_scores, block_Ts = jax.lax.map(eval_block, keys)  # [nb], [nb,4,4]
+    if n_blocks == 1:
+        s1, t1 = eval_block(keys[0])
+        block_scores, block_Ts = s1[None], t1[None]
+    else:
+        block_scores, block_Ts = jax.lax.map(eval_block, keys)  # [nb], [nb,4,4]
 
     # full validation of the block winners: the finalist with the highest
     # exact inlier count wins

@@ -7,8 +7,6 @@ maps (see imfnet_tpu.sparse). All params float32, compute dtype configurable.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -7,11 +7,9 @@ the mesh, params/state are replicated.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 

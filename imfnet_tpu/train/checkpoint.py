@@ -16,7 +16,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 from flax import serialization
 
 from imfnet_tpu.config import Config

@@ -7,7 +7,6 @@ Everything — kernel-map construction included — runs inside one XLA program.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -125,9 +124,6 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     within ``search_radius`` after the gt transform. Pairs are kept apart in
     one blocked NN pass by a large per-pair coordinate offset.
     """
-    from imfnet_tpu.match.nn import radius_match
-    from imfnet_tpu.match.metrics import apply_transform
-
     n0 = batch.coords0.shape[0]
     n1 = batch.coords1.shape[0]
     v0 = jnp.arange(n0) < batch.n0
@@ -139,8 +135,6 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     x0 = jnp.einsum("nij,nj->ni", T[:, :3, :3], batch.xyz0) + T[:, :3, 3]
     x0 = x0 + (b0 * big)[:, None]
     x1 = batch.xyz1 + (b1 * big)[:, None]
-    # radius can be a traced scalar: radius_match jit-compiles with it static;
-    # inline the blocked NN here instead to allow dynamic radius
     from imfnet_tpu.match.nn import nn_auto
 
     idx, d2 = nn_auto(x0, x1, v1, block=4096)
