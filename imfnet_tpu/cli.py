@@ -26,6 +26,8 @@ def _base_config(args):
 
     preset = kitti_config if args.dataset == "kitti" else threedmatch_config
     over = {}
+    if args.dataset == "synthetic":
+        over["dataset"] = "SyntheticPairDataset"
     for k in ("threed_match_dir", "overlap_path", "kitti_root", "out_dir",
               "max_epoch", "batch_size", "lr", "voxel_size", "trainer",
               "max_points", "seed"):

@@ -58,6 +58,38 @@ def make_parallel_train_step(model, tx, config: Config, mesh: Mesh) -> Callable:
     return step
 
 
+def make_parallel_registration(mesh: Mesh, *, voxel_size: float = 0.025,
+                               ransac_n: int = 3, num_hypotheses: int = 50000,
+                               inlier_thresh: float = 0.1) -> Callable:
+    """Sharded pair registration: a stack of keypoint sets (leading axis =
+    mesh size) registers concurrently, one pair per device — benchmark
+    evaluation throughput scales with the mesh (SURVEY.md §2.3: batch-of-
+    pairs sharding is new capability vs the single-GPU reference).
+
+    Returns register(keys[D], kp0[D,K,3], kd0[D,K,C], ok0[D,K], kp1, kd1,
+    ok1, T_gt[D,4,4], cov[D,6,6]) → metrics dict with leading device axis.
+    """
+    from imfnet_tpu.eval.registration import make_keypoint_registration
+
+    register_kp = make_keypoint_registration(
+        voxel_size=voxel_size, ransac_n=ransac_n,
+        num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh)
+
+    def device_register(key, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov):
+        out = register_kp(key[0], kp0[0], kd0[0], ok0[0], kp1[0], kd1[0],
+                          ok1[0], T_gt[0], cov[0])
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = shard_map(
+        device_register,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS),) * 9,
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_parallel_eval_forward(model, config: Config, mesh: Mesh) -> Callable:
     """Sharded descriptor extraction: a batch of independent fragments spread
     over the mesh (eval-throughput scaling, SURVEY.md §2.3)."""

@@ -104,3 +104,44 @@ def test_dp_step_runs_on_8_devices(rng):
     state, metrics = pstep(state, stacked, keys)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_parallel_registration_matches_single(rng):
+    """Sharded batch-of-pairs registration == per-pair registration."""
+    import jax
+    import jax.numpy as jnp
+    from imfnet_tpu.eval.registration import make_keypoint_registration
+    from imfnet_tpu.parallel import make_mesh
+    from imfnet_tpu.parallel.dp import make_parallel_registration
+
+    D, K = 8, 128
+    mesh = make_mesh(D)
+    # build D synthetic pairs: random rigid transforms with noise + outliers
+    kp0s, kd0s, kp1s, kd1s, Ts = [], [], [], [], []
+    for d in range(D):
+        src = rng.rand(K, 3).astype(np.float32) * 2
+        from imfnet_tpu.geom.transforms import sample_random_trans
+        T = sample_random_trans(src, rng).astype(np.float32)
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        desc = rng.randn(K, 16).astype(np.float32)
+        kp0s.append(src); kp1s.append(dst)
+        kd0s.append(desc); kd1s.append(desc + rng.randn(K, 16).astype(np.float32) * 1e-3)
+        Ts.append(np.linalg.inv(T))  # gt.log convention: maps 1→0
+    ok = jnp.ones((D, K), bool)
+    args = (
+        jnp.stack([jax.random.PRNGKey(i) for i in range(D)]),
+        jnp.asarray(np.stack(kp0s)), jnp.asarray(np.stack(kd0s)), ok,
+        jnp.asarray(np.stack(kp1s)), jnp.asarray(np.stack(kd1s)), ok,
+        jnp.asarray(np.stack(Ts)),
+        jnp.broadcast_to(jnp.eye(6), (D, 6, 6)),
+    )
+    par = make_parallel_registration(mesh, voxel_size=0.05,
+                                     num_hypotheses=2048)
+    out = par(*args)
+    assert out["rr"].shape == (D,)
+    single = make_keypoint_registration(voxel_size=0.05, num_hypotheses=2048)
+    for d in range(0, D, 3):
+        ref = single(*(jax.tree_util.tree_map(lambda x: x[d], args)))
+        np.testing.assert_allclose(float(out["ir"][d]), float(ref["ir"]),
+                                   atol=1e-5)
+        assert float(out["rr"][d]) == float(ref["rr"])
