@@ -19,6 +19,16 @@ class CameraPose:
     metadata: List[int]
     pose: np.ndarray
 
+    # aliases used by the benchmark pipeline (evaluation_3dmatch.py reads
+    # gt.log entries as (indices, transformation))
+    @property
+    def indices(self) -> List[int]:
+        return self.metadata
+
+    @property
+    def transformation(self) -> np.ndarray:
+        return self.pose
+
     def __str__(self):
         return (
             "metadata : " + " ".join(map(str, self.metadata)) + "\n"

@@ -49,6 +49,21 @@ class Jitter:
         return coords, feats
 
 
+class ChromaticShift:
+    """Shared RGB shift applied with probability 0.95 to the first three
+    feature channels (`lib/transforms.py:33-42`; used for color-feature
+    model variants)."""
+
+    def __init__(self, mu=0.0, sigma=0.1, p=0.95):
+        self.mu, self.sigma, self.p = mu, sigma, p
+
+    def __call__(self, randg, coords, feats):
+        if randg.rand() < self.p:
+            feats = feats.copy()
+            feats[:, :3] += self.mu + self.sigma * randg.randn(1, 3)
+        return coords, feats
+
+
 class Compose:
     def __init__(self, transforms):
         self.transforms = transforms

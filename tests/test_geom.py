@@ -88,3 +88,15 @@ def test_process_image_resize(rng):
     # bilinear: constant image stays constant
     const = np.full((33, 47, 3), 0.25, np.float32)
     np.testing.assert_allclose(process_image(const, 120, 160), 0.25, atol=1e-6)
+
+
+def test_chromatic_shift(rng):
+    from imfnet_tpu.geom.transforms import ChromaticShift
+
+    feats = np.zeros((10, 4), np.float32)
+    t = ChromaticShift(sigma=0.5, p=1.0)
+    _, out = t(rng, None, feats)
+    # same shift applied to all rows, first 3 channels only
+    assert (out[:, 3] == 0).all()
+    assert np.allclose(out[:, :3], out[0, :3])
+    assert np.abs(out[0, :3]).max() > 0
