@@ -142,6 +142,10 @@ def kitti_config(**overrides) -> Config:
         out_dir="outputs_kitti",
         max_points=131072,
         grid_extent=(704, 704, 128),
+        # velodyne scans are thin and sparse: coarse levels shrink far more
+        # slowly than indoor surface data, so per-level capacities must stay
+        # generous (overflow silently drops coarse voxels)
+        level_capacity_divisors=(1, 1, 2, 4),
     )
     base.update(overrides)
     return Config(**base)

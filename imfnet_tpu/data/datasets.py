@@ -38,6 +38,18 @@ _kitti_pose_cache = {}
 _kitti_icp_cache = {}
 
 
+
+def _resolve_data_file(path: str) -> str:
+    """Split-list resolution: CWD-relative (reference layout) first, else the
+    standard split lists shipped with the package (data/config/*.txt)."""
+    if os.path.exists(path):
+        return path
+    pkg = os.path.join(os.path.dirname(__file__), "config", os.path.basename(path))
+    if os.path.exists(pkg):
+        return pkg
+    raise FileNotFoundError(f"split list not found: {path} (also tried {pkg})")
+
+
 class PairDataset:
     """Base: augmentation state + config (`lib/data_loaders.py:107-144`)."""
 
@@ -123,7 +135,7 @@ class IndoorPairDataset(PairDataset):
     def __init__(self, phase, config, **kw):
         super().__init__(phase, config, **kw)
         self.root = config.threed_match_dir
-        subset_names = open(self.DATA_FILES[phase]).read().split()
+        subset_names = open(_resolve_data_file(self.DATA_FILES[phase])).read().split()
         for name in subset_names:
             fnames_txt = glob.glob(os.path.join(config.overlap_path, name + "*"))
             assert len(fnames_txt) > 0, (
@@ -169,7 +181,7 @@ class ThreeDMatchTestDataset(PairDataset):
         assert phase == "test"
         super().__init__(phase, config, **kw)
         self.root = config.threed_match_dir
-        subset_names = open(self.DATA_FILES[phase]).read().split()
+        subset_names = open(_resolve_data_file(self.DATA_FILES[phase])).read().split()
         if scene_id is not None:
             subset_names = [subset_names[scene_id]]
         for sname in subset_names:
@@ -227,7 +239,7 @@ class KITTIPairDataset(PairDataset):
         self.icp_path = config.icp_cache_path or os.path.join(config.kitti_root, "icp")
         pathlib.Path(self.icp_path).mkdir(parents=True, exist_ok=True)
         self.max_time_diff = config.kitti_max_time_diff
-        subset_names = open(self.DATA_FILES[phase]).read().split()
+        subset_names = open(_resolve_data_file(self.DATA_FILES[phase])).read().split()
         self._build_file_list(subset_names)
 
     def _scan_ids(self, drive_id: int):

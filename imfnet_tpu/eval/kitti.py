@@ -50,7 +50,9 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
     for i, batch in enumerate(loader):
         feat_timer.tic()
         out = eval_pair(params, batch_stats, batch, jax.random.PRNGKey(i))
-        T_est = np.asarray(out["transformation"])
+        # registration returns the gt.log-convention estimate (maps 1→0,
+        # `evaluation_3dmatch.py:182-187`); KITTI GT maps 0→1 — invert
+        T_est = np.linalg.inv(np.asarray(out["transformation"]))
         feat_timer.toc()
 
         reg_timer.tic()
