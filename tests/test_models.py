@@ -184,5 +184,33 @@ def test_simpleunet_forward(rng):
 def test_registry():
     with pytest.raises(ValueError):
         load_model("NotAModel")
-    for name in ("ResUNetBN2C", "ResUNetIN2E", "SimpleNet3"):
-        assert load_model(name) is not None
+    # full reference zoo (`model/resunet.py:276-326`, `model/simpleunet.py`)
+    names = (
+        [f"ResUNet{n}2{s}" for n in ("BN", "IN") for s in ("", "B", "C", "D", "E")]
+        + ["SimpleNet", "SimpleNet2", "SimpleNet3"]
+        + [f"SimpleNet{n}{d}{s}" for n in ("BN", "IN") for d in ("", "2", "3")
+           for s in ("", "E")]
+        + ["SimpleNetBN2B", "SimpleNetBN2C", "SimpleNetBN2D",
+           "SimpleNetBN3B", "SimpleNetBN3C", "SimpleNetBN3D"]
+    )
+    for name in names:
+        assert load_model(name) is not None, name
+
+
+def test_simplenet_variant_forward(rng):
+    """One BN and one IN variant instantiate and run (5-level SimpleNet3E)."""
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+
+    coords = make_cloud(rng, 200, 0, span=16)
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 256)
+    pyr = build_pyramid(sv.coords, sv.num_valid, num_levels=5,
+                        conv1_kernel_size=3,
+                        level_capacity=(256, 128, 64, 64, 64))
+    for name in ("SimpleNetBN3E", "SimpleNetIN2E"):
+        model = load_model(name)(in_channels=1, out_channels=8,
+                                 conv1_kernel_size=3,
+                                 compute_dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), sv, pyr, None, train=False)
+        out = model.apply(variables, sv, pyr, None, train=False)
+        assert np.isfinite(np.asarray(out)).all(), name
