@@ -89,3 +89,51 @@ def test_evaluate_synthetic_benchmark(tmp_path, seed):
     assert osp.exists(out_root / "TEST-recall-curve.csv")
     assert osp.exists(out_root / "TEST" /
                       f"{scene}-{seq}-{config.inlier_thresh:.2f}.txt")
+
+
+def test_generate_descriptors_writes_npz(tmp_path, rng=None):
+    """PLY scene → bucketed extraction → .npz{points,xyz,feature} artifacts
+    (`scripts/generate_desc.py:44-133` contract)."""
+    import jax
+    import jax.numpy as jnp
+    from imfnet_tpu.eval.threedmatch import generate_descriptors
+    from imfnet_tpu.geom.ply import write_ply
+    from imfnet_tpu.models import load_model
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+
+    rng = np.random.RandomState(0)
+    config = threedmatch_config(
+        conv1_kernel_size=3, model_n_out=16, compute_dtype="float32",
+        grid_extent=(128, 128, 128))
+    scene = "toy-scene"
+    scene_dir = tmp_path / "pcloud" / scene / "seq-01"
+    os.makedirs(scene_dir)
+    for k in range(2):
+        pts = (rng.rand(2000, 3) * 1.5).astype(np.float32)
+        write_ply(str(scene_dir / f"cloud_bin_{k}.ply"), pts)
+
+    model = load_model(config.model)(
+        in_channels=1, out_channels=config.model_n_out,
+        conv1_kernel_size=3, normalize_feature=True,
+        compute_dtype=jnp.float32)
+    coords = rng.randint(0, 40, size=(200, 4)).astype(np.int32)
+    coords[:, 0] = 0
+    coords = np.unique(coords, axis=0)
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 512)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=3,
+                        level_capacity=(512, 256, 128, 64))
+    image = jnp.zeros((1, config.image_H, config.image_W, 3))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, image, train=False)
+
+    out_root = tmp_path / "descs"
+    stats = generate_descriptors(
+        model, variables, config, str(tmp_path / "pcloud"), str(out_root),
+        scenes=[scene])
+    assert stats["count"] == 2
+    d = np.load(out_root / scene / "seq-01" / "cloud_bin_0.npz")
+    assert set(d.files) == {"points", "xyz", "feature"}
+    assert d["feature"].shape[1] == config.model_n_out
+    assert len(d["xyz"]) == len(d["feature"]) > 100
+    np.testing.assert_allclose(
+        np.linalg.norm(d["feature"], axis=1), 1.0, rtol=1e-4)
