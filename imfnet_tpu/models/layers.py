@@ -26,7 +26,8 @@ class SparseConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, nbr=None, out_mask=None, occupancy=False):
+    def __call__(self, feats, nbr=None, out_mask=None, occupancy=False,
+                 nbr_inv=None):
         if occupancy and self.in_channels == 1:
             # occupancy-1 inputs: conv = (neighbor-exists) @ W, one MXU matmul
             w = self.param(
@@ -68,7 +69,8 @@ class SparseConv(nn.Module):
             else None
         )
         return sparse_conv(
-            feats, nbr, w, bias=b, out_mask=out_mask, compute_dtype=self.compute_dtype
+            feats, nbr, w, bias=b, out_mask=out_mask,
+            compute_dtype=self.compute_dtype, nbr_inv=nbr_inv,
         )
 
 
@@ -132,15 +134,17 @@ class SparseBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, nbr, mask, num_valid, batch_ids, max_batch, *, train: bool):
         residual = feats
+        # a stride-1 map is its own exact inverse (up to the offset flip the
+        # conv backward applies), enabling the scatter-free backward
         out = SparseConv(self.channels, self.channels, 27, compute_dtype=self.compute_dtype)(
-            feats, nbr
+            feats, nbr, nbr_inv=nbr
         )
         out = SparseNorm(self.norm_type, self.channels, self.bn_momentum)(
             out, mask, num_valid, batch_ids, max_batch, train=train
         )
         out = nn.relu(out)
         out = SparseConv(self.channels, self.channels, 27, compute_dtype=self.compute_dtype)(
-            out, nbr
+            out, nbr, nbr_inv=nbr
         )
         out = SparseNorm(self.norm_type, self.channels, self.bn_momentum)(
             out, mask, num_valid, batch_ids, max_batch, train=train

@@ -91,22 +91,23 @@ class ResUNetIMF(nn.Module):
         out = SparseConv(self.in_channels, ch[0], k5_vol, compute_dtype=dt,
                          name="conv1")(
             sv.feats, pyramid.k5_l0,
-            occupancy=self.conv1_occupancy and self.in_channels == 1)
+            occupancy=self.conv1_occupancy and self.in_channels == 1,
+            nbr_inv=pyramid.k5_l0)
         out = norm(out, 0, ch[0], "norm1")
         out_s1 = block(out, 0, ch[0], "block1")
 
         out = SparseConv(ch[0], ch[1], 27, compute_dtype=dt, name="conv2")(
-            out_s1, lv[1].down)
+            out_s1, lv[1].down, nbr_inv=lv[0].up)
         out = norm(out, 1, ch[1], "norm2")
         out_s2 = block(out, 1, ch[1], "block2")
 
         out = SparseConv(ch[1], ch[2], 27, compute_dtype=dt, name="conv3")(
-            out_s2, lv[2].down)
+            out_s2, lv[2].down, nbr_inv=lv[1].up)
         out = norm(out, 2, ch[2], "norm3")
         out_s4 = block(out, 2, ch[2], "block3")
 
         out = SparseConv(ch[2], ch[3], 27, compute_dtype=dt, name="conv4")(
-            out_s4, lv[3].down)
+            out_s4, lv[3].down, nbr_inv=lv[2].up)
         out = norm(out, 3, ch[3], "norm4")
         out = block(out, 3, ch[3], "block4")
 
@@ -137,19 +138,19 @@ class ResUNetIMF(nn.Module):
 
         # ---- decoder (model/resunet.py:191-226) ----
         out = SparseConv(ch[3], tr[3], 27, compute_dtype=dt, name="conv4_tr")(
-            out, lv[2].up)
+            out, lv[2].up, nbr_inv=lv[3].down)
         out = norm(out, 2, tr[3], "norm4_tr")
         out = block(out, 2, tr[3], "block4_tr")
         out = sparse_cat(out, out_s4)
 
         out = SparseConv(ch[2] + tr[3], tr[2], 27, compute_dtype=dt, name="conv3_tr")(
-            out, lv[1].up)
+            out, lv[1].up, nbr_inv=lv[2].down)
         out = norm(out, 1, tr[2], "norm3_tr")
         out = block(out, 1, tr[2], "block3_tr")
         out = sparse_cat(out, out_s2)
 
         out = SparseConv(ch[1] + tr[2], tr[1], 27, compute_dtype=dt, name="conv2_tr")(
-            out, lv[0].up)
+            out, lv[0].up, nbr_inv=lv[1].down)
         out = norm(out, 0, tr[1], "norm2_tr")
         out = block(out, 0, tr[1], "block2_tr")
         out = sparse_cat(out, out_s1)

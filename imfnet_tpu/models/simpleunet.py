@@ -65,13 +65,15 @@ class SimpleUNetBase(nn.Module):
         # encoder: conv1 k5 s1, then k3 s2 per level; skips are pre-relu.
         skips = []
         out = SparseConv(self.in_channels, ch[0], self.conv1_kernel_size ** 3,
-                         compute_dtype=dt, name="conv1")(sv.feats, pyramid.k5_l0)
+                         compute_dtype=dt, name="conv1")(
+            sv.feats, pyramid.k5_l0, nbr_inv=pyramid.k5_l0)
         out = norm(out, 0, ch[0], "norm1")
         skips.append(out)
         out = nn.relu(out)
         for i in range(1, depth):
             out = SparseConv(ch[i - 1], ch[i], 27, compute_dtype=dt,
-                             name=f"conv{i + 1}")(out, lv[i].down)
+                             name=f"conv{i + 1}")(out, lv[i].down,
+                                                  nbr_inv=lv[i - 1].up)
             out = norm(out, i, ch[i], f"norm{i + 1}")
             skips.append(out)
             out = nn.relu(out)
@@ -80,21 +82,24 @@ class SimpleUNetBase(nn.Module):
         for i in range(depth - 1, 0, -1):
             cin = ch[i] + (tr[i + 1] if i < depth - 1 else 0)
             out = SparseConv(cin, tr[i], 27, compute_dtype=dt,
-                             name=f"conv{i + 1}_tr")(out, lv[i - 1].up)
+                             name=f"conv{i + 1}_tr")(out, lv[i - 1].up,
+                                                     nbr_inv=lv[i].down)
             out = norm(out, i - 1, tr[i], f"norm{i + 1}_tr")
             out = nn.relu(out)
             out = sparse_cat(out, skips[i - 1])
 
         if self.has_final:
             out = SparseConv(ch[0] + tr[1], tr[0], 27, compute_dtype=dt,
-                             name="conv1_tr")(out, lv[0].k3_same)
+                             name="conv1_tr")(out, lv[0].k3_same,
+                                              nbr_inv=lv[0].k3_same)
             out = norm(out, 0, tr[0], "norm1_tr")
             out = nn.relu(out)
             out = SparseConv(tr[0], self.out_channels, use_bias=True,
                              compute_dtype=dt, name="final")(out, None, masks[0])
         else:
             out = SparseConv(ch[0] + tr[1], self.out_channels, 27,
-                             compute_dtype=dt, name="conv1_tr")(out, lv[0].k3_same)
+                             compute_dtype=dt, name="conv1_tr")(
+                out, lv[0].k3_same, nbr_inv=lv[0].k3_same)
 
         if self.normalize_feature:
             nrm = jnp.linalg.norm(out, axis=1, keepdims=True)

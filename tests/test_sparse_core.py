@@ -236,3 +236,51 @@ def test_build_pyramid_structure(rng):
     assert hit.size > 0 and hit.max() < n1
     # Every valid level-0 row must see its own parent voxel via some offset.
     assert (up0[:n] >= 0).any(axis=1).all()
+
+
+def test_transpose_backward_matches_autodiff(rng):
+    """The scatter-free conv backward (gather-GEMM through the pyramid's
+    inverse map) must reproduce autodiff gradients exactly for stride-1,
+    down, and up convolutions."""
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+    from imfnet_tpu.sparse.ops import sparse_conv
+
+    from test_models import make_cloud
+
+    coords = np.concatenate([make_cloud(rng, 150, 0, span=10),
+                             make_cloud(rng, 100, 1, span=10)])
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 384)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=3,
+                        level_capacity=(384, 256, 128, 64))
+    lv = pyr.levels
+
+    cases = [
+        ("same", lv[0].k3_same, lv[0].k3_same, 384, 384),
+        ("down", lv[1].down, lv[0].up, 384, 256),
+        ("up", lv[0].up, lv[1].down, 256, 384),
+    ]
+    for name, nbr, inv, n_in, n_out in cases:
+        cin, cout = 8, 16
+        x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+        cot = jnp.asarray(rng.randn(n_out, cout).astype(np.float32))
+
+        def loss_ref(x, w):
+            return jnp.sum(sparse_conv(x, nbr, w, compute_dtype=jnp.float32,
+                                       impl="scan") * cot)
+
+        def loss_fast(x, w):
+            return jnp.sum(sparse_conv(x, nbr, w, compute_dtype=jnp.float32,
+                                       nbr_inv=inv) * cot)
+
+        out_r = sparse_conv(x, nbr, w, compute_dtype=jnp.float32, impl="scan")
+        out_f = sparse_conv(x, nbr, w, compute_dtype=jnp.float32, nbr_inv=inv)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        gx_f, gw_f = jax.grad(loss_fast, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
