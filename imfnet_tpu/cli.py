@@ -135,6 +135,17 @@ def cmd_dam(args):
     print(f"DAM written to {args.out}")
 
 
+def cmd_visualize(args):
+    from imfnet_tpu.utils.visualization import visualize_pair_registration
+
+    model, variables, config = _load_model_and_vars(args.checkpoint)
+    T, fitness = visualize_pair_registration(
+        model, variables, config,
+        args.ply0, args.image0, args.ply1, args.image1, args.out_dir)
+    print(f"fitness {fitness:.4f}; views in {args.out_dir}")
+    print(np.array_str(T, precision=4))
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
@@ -157,6 +168,15 @@ def main(argv=None):
         pt.add_argument(flag, type=typ, default=None,
                         dest=flag[2:].replace("-", "_"))
     pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("visualize")
+    pv.add_argument("--checkpoint", required=True)
+    pv.add_argument("--ply0", required=True)
+    pv.add_argument("--image0", default="")
+    pv.add_argument("--ply1", required=True)
+    pv.add_argument("--image1", default="")
+    pv.add_argument("--out-dir", default="views")
+    pv.set_defaults(fn=cmd_visualize)
 
     pg = sub.add_parser("generate-desc")
     pg.add_argument("--checkpoint", required=True)

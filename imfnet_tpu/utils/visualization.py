@@ -35,6 +35,68 @@ def save_registration_view(
     write_ply(path, pts, colors=cols)
 
 
+def visualize_pair_registration(
+    model, variables, config,
+    ply0: str, image0: str, ply1: str, image1: str,
+    out_dir: str,
+    num_keypoints: int = 5000,
+):
+    """The `visualization_ours` pipeline (`util/visualization.py:98-194`):
+    extract descriptors on both fragments, register with feature RANSAC, and
+    write before/after + correspondence views as colored PLYs. Returns the
+    estimated transform (maps cloud0 → cloud1) and RANSAC fitness."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from imfnet_tpu.eval.extract import make_bucketed_extractor, pad_points
+    from imfnet_tpu.eval.registration import make_pair_registration
+    from imfnet_tpu.geom.image import load_image, process_image
+    from imfnet_tpu.geom.ply import read_ply
+
+    os.makedirs(out_dir, exist_ok=True)
+    extract = make_bucketed_extractor(model, variables, config=config)
+
+    sides = []
+    for ply, img in ((ply0, image0), (ply1, image1)):
+        pts = read_ply(ply)["points"].astype(np.float32)
+        if img and len(img) > 0:
+            im = process_image(load_image(img), config.image_H, config.image_W)
+        else:
+            im = np.zeros((config.image_H, config.image_W, 3), np.float32)
+        raw, n_raw = pad_points(pts, 1 << 18)
+        xyz_down, feats = extract(raw, n_raw, jnp.asarray(im[None]))
+        sides.append((pts, xyz_down, feats))
+
+    n_pad = 1 << int(np.ceil(np.log2(max(len(sides[0][1]), len(sides[1][1])))))
+
+    def padded(x, width):
+        out = np.zeros((n_pad, width), np.float32)
+        out[: len(x)] = x
+        return jnp.asarray(out)
+
+    register = make_pair_registration(
+        num_keypoints=num_keypoints, voxel_size=config.voxel_size,
+        ransac_n=config.ransac_n, num_hypotheses=config.ransac_max_iteration,
+        inlier_thresh=config.inlier_thresh)
+    out = register(
+        jax.random.PRNGKey(0),
+        padded(sides[0][1], 3), padded(sides[0][2], sides[0][2].shape[1]),
+        len(sides[0][1]),
+        padded(sides[1][1], 3), padded(sides[1][2], sides[1][2].shape[1]),
+        len(sides[1][1]),
+        jnp.eye(4), jnp.eye(6))
+    # registration returns the gt.log-convention pose (1→0); invert for 0→1
+    T01 = np.linalg.inv(np.asarray(out["transformation"]))
+
+    save_registration_view(os.path.join(out_dir, "before.ply"),
+                           sides[0][0], sides[1][0])
+    save_registration_view(os.path.join(out_dir, "after.ply"),
+                           sides[0][0], sides[1][0], transform=T01)
+    return T01, float(out["fitness"])
+
+
 def save_correspondence_view(
     path: str,
     xyz0: np.ndarray,
