@@ -22,18 +22,36 @@ import numpy as np
 
 
 def _base_config(args):
-    from imfnet_tpu.config import kitti_config, threedmatch_config
+    from imfnet_tpu.config import Config, kitti_config, threedmatch_config
 
-    preset = kitti_config if args.dataset == "kitti" else threedmatch_config
+    # --resume-dir re-reads a previous run's config.json to reconstruct the
+    # flags (`train_3DMatch.py:77-82` contract), then resumes from its last
+    # checkpoint unless --resume names one explicitly
     over = {}
     if args.dataset == "synthetic":
         over["dataset"] = "SyntheticPairDataset"
     for k in ("threed_match_dir", "overlap_path", "kitti_root", "out_dir",
               "max_epoch", "batch_size", "lr", "voxel_size", "trainer",
-              "max_points", "seed"):
+              "max_points", "seed", "resume"):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
+
+    resume_dir = getattr(args, "resume_dir", None)
+    if resume_dir:
+        with open(os.path.join(resume_dir, "config.json")) as f:
+            base = Config.from_json(f.read())
+        if "resume" not in over:
+            ckpts = sorted(
+                d for d in os.listdir(resume_dir)
+                if d.startswith("checkpoint") and
+                os.path.isdir(os.path.join(resume_dir, d)))
+            if ckpts:
+                over["resume"] = os.path.join(resume_dir, ckpts[-1])
+        over.pop("dataset", None)  # the resumed config's dataset wins
+        return base.replace(**over)
+
+    preset = kitti_config if args.dataset == "kitti" else threedmatch_config
     return preset(**over)
 
 
@@ -164,7 +182,8 @@ def main(argv=None):
                       ("--max-epoch", int), ("--batch-size", int),
                       ("--lr", float), ("--voxel-size", float),
                       ("--trainer", str), ("--max-points", int),
-                      ("--seed", int)]:
+                      ("--seed", int), ("--resume", str),
+                      ("--resume-dir", str)]:
         pt.add_argument(flag, type=typ, default=None,
                         dest=flag[2:].replace("-", "_"))
     pt.set_defaults(fn=cmd_train)
