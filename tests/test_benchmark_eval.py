@@ -137,3 +137,46 @@ def test_generate_descriptors_writes_npz(tmp_path, rng=None):
     assert len(d["xyz"]) == len(d["feature"]) > 100
     np.testing.assert_allclose(
         np.linalg.norm(d["feature"], axis=1), 1.0, rtol=1e-4)
+
+
+def test_visualize_pair_registration(tmp_path):
+    """visualize_pair_registration writes before/after views and returns a
+    finite pose (visualization_ours flow)."""
+    import jax
+    import jax.numpy as jnp
+    from imfnet_tpu.geom.ply import write_ply
+    from imfnet_tpu.models import load_model
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+    from imfnet_tpu.utils.visualization import visualize_pair_registration
+
+    rng = np.random.RandomState(1)
+    config = threedmatch_config(
+        conv1_kernel_size=3, model_n_out=16, compute_dtype="float32",
+        grid_extent=(128, 128, 128), num_rand_keypoints=256,
+        ransac_max_iteration=1024)
+    pts = (rng.rand(1500, 3) * 1.2).astype(np.float32)
+    ply0 = tmp_path / "a.ply"
+    ply1 = tmp_path / "b.ply"
+    write_ply(str(ply0), pts)
+    write_ply(str(ply1), pts + np.float32([0.1, 0.0, 0.0]))
+
+    model = load_model(config.model)(
+        in_channels=1, out_channels=config.model_n_out,
+        conv1_kernel_size=3, normalize_feature=True,
+        compute_dtype=jnp.float32)
+    coords = np.unique(rng.randint(0, 40, size=(200, 4)).astype(np.int32), axis=0)
+    coords[:, 0] = 0
+    coords = np.unique(coords, axis=0)
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 512)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=3,
+                        level_capacity=(512, 256, 128, 64))
+    image = jnp.zeros((1, config.image_H, config.image_W, 3))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, image, train=False)
+
+    out_dir = tmp_path / "views"
+    T, fitness = visualize_pair_registration(
+        model, variables, config, str(ply0), "", str(ply1), "", str(out_dir))
+    assert os.path.exists(out_dir / "before.ply")
+    assert os.path.exists(out_dir / "after.ply")
+    assert np.isfinite(T).all() and T.shape == (4, 4)
