@@ -153,6 +153,56 @@ def cmd_dam(args):
     print(f"DAM written to {args.out}")
 
 
+def cmd_fuse_fragments(args):
+    from imfnet_tpu.data.offline import fuse_scene
+
+    written = fuse_scene(
+        args.scene_dir, args.out_dir,
+        frames_per_fragment=args.frames_per_fragment,
+        frame_step=args.frame_step,
+        dims=(args.resolution,) * 3, cubic_size=args.cubic_size,
+        depth_scale=args.depth_scale, depth_trunc=args.depth_trunc)
+    print(json.dumps({"fragments": written}))
+
+
+def cmd_compute_overlap(args):
+    from imfnet_tpu.data.offline import build_overlap_lists, voxel_down_sample_np
+    from imfnet_tpu.geom.ply import read_ply
+
+    plys = sorted(
+        f for f in os.listdir(args.fragments_dir)
+        if f.startswith("cloud_bin_") and f.endswith(".ply")
+    )
+    frags = []
+    for f in plys:
+        pts = read_ply(os.path.join(args.fragments_dir, f))["points"]
+        # the reference caps inputs at ~300k points (`compute_overlap.py:101`)
+        if len(pts) > args.max_points:
+            pts = voxel_down_sample_np(pts, args.downsample_voxel)
+        frags.append((f[: -len(".ply")], pts.astype(np.float32)))
+    kept = build_overlap_lists(
+        frags, args.out_dir, dist_thresh=args.dist_thresh,
+        min_overlap=args.min_overlap)
+    print(json.dumps({"pairs": [[a, b, r] for a, b, r in kept]}))
+
+
+def cmd_compute_radius(args):
+    from imfnet_tpu.data.offline import compute_radius
+    from imfnet_tpu.geom.ply import read_ply
+
+    outs = []
+    for f in sorted(os.listdir(args.fragments_dir)):
+        if not f.endswith(".ply"):
+            continue
+        path = os.path.join(args.fragments_dir, f)
+        radii = compute_radius(read_ply(path)["points"],
+                               nn_radius=args.nn_radius)
+        out = path[: -len(".ply")] + ".radius.npy"
+        np.save(out, radii)
+        outs.append(out)
+    print(json.dumps({"radius_files": outs}))
+
+
 def cmd_visualize(args):
     from imfnet_tpu.utils.visualization import visualize_pair_registration
 
@@ -218,6 +268,31 @@ def main(argv=None):
     pk.add_argument("--checkpoint", required=True)
     pk.add_argument("--kitti-root", default=None)
     pk.set_defaults(fn=cmd_eval_kitti)
+
+    pf = sub.add_parser("fuse-fragments")
+    pf.add_argument("--scene-dir", required=True)
+    pf.add_argument("--out-dir", required=True)
+    pf.add_argument("--frames-per-fragment", type=int, default=50)
+    pf.add_argument("--frame-step", type=int, default=1)
+    pf.add_argument("--resolution", type=int, default=256)
+    pf.add_argument("--cubic-size", type=float, default=6.0)
+    pf.add_argument("--depth-scale", type=float, default=1000.0)
+    pf.add_argument("--depth-trunc", type=float, default=6.0)
+    pf.set_defaults(fn=cmd_fuse_fragments)
+
+    po = sub.add_parser("compute-overlap")
+    po.add_argument("--fragments-dir", required=True)
+    po.add_argument("--out-dir", required=True)
+    po.add_argument("--dist-thresh", type=float, default=0.075)
+    po.add_argument("--min-overlap", type=float, default=0.3)
+    po.add_argument("--max-points", type=int, default=300000)
+    po.add_argument("--downsample-voxel", type=float, default=0.01)
+    po.set_defaults(fn=cmd_compute_overlap)
+
+    pr = sub.add_parser("compute-radius")
+    pr.add_argument("--fragments-dir", required=True)
+    pr.add_argument("--nn-radius", type=float, default=0.1)
+    pr.set_defaults(fn=cmd_compute_radius)
 
     pd = sub.add_parser("dam")
     pd.add_argument("--checkpoint", required=True)

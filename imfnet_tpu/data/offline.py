@@ -110,9 +110,116 @@ class TSDFVolume:
                                self.dims)
 
 
+def read_depth_png(path: str, depth_scale: float = 1000.0,
+                   depth_trunc: float = 6.0) -> np.ndarray:
+    """Depth frame in metres from a 16-bit PNG (0 = invalid), the 3DMatch
+    frame format consumed at `data/fuse_fragments_3DMatch.py:36-45`."""
+    from PIL import Image
+
+    d = np.asarray(Image.open(path)).astype(np.float32) / depth_scale
+    return np.where(d > depth_trunc, 0.0, d)
+
+
+def fuse_fragment_frames(
+    depth_paths: List[str],
+    pose_paths: List[str],
+    intrinsic: np.ndarray,
+    *,
+    dims: Tuple[int, int, int] = (256, 256, 256),
+    cubic_size: float = 6.0,
+    trunc: float | None = None,
+    depth_scale: float = 1000.0,
+    depth_trunc: float = 6.0,
+):
+    """Fuse one fragment's RGB-D frames into a surface cloud + base pose
+    (`process_single_fragment`, `data/fuse_fragments_3DMatch.py:47-96`):
+    poses are rebased to the first valid frame, integration runs in the base
+    frame, and the returned pose maps the fragment to world coordinates.
+
+    Returns (points [N,3] float64 in the base frame, pose_base2world [4,4])
+    or (None, None) when no frame has a valid pose.
+    """
+    voxel = cubic_size / dims[0]
+    if trunc is None:
+        # o3d default sdf_trunc=0.04 at voxel 3/512; keep the band ≥2 voxels
+        # wide so coarse test-scale grids still carry a zero crossing
+        trunc = max(0.04, 2.0 * voxel)
+    # volume centered on the base camera, biased forward along +z (view dir)
+    origin = np.array(
+        [-cubic_size / 2, -cubic_size / 2, -cubic_size / 4], np.float32)
+    vol = TSDFVolume(origin, dims=dims, voxel=voxel, trunc=trunc)
+    pose_base2world = None
+    base_inv = None
+    for dpath, ppath in zip(depth_paths, pose_paths):
+        pose = np.loadtxt(ppath).reshape(4, 4)
+        if not np.isfinite(pose).all():
+            continue
+        if base_inv is None:
+            pose_base2world = pose
+            base_inv = np.linalg.inv(pose)
+        cam2base = base_inv @ pose
+        depth = read_depth_png(dpath, depth_scale, depth_trunc)
+        vol.integrate(depth, intrinsic, np.linalg.inv(cam2base))
+    if base_inv is None:
+        return None, None
+    return vol.extract_point_cloud(), pose_base2world
+
+
+def fuse_scene(
+    scene_dir: str,
+    out_dir: str,
+    *,
+    frames_per_fragment: int = 50,
+    frame_step: int = 1,
+    dims: Tuple[int, int, int] = (256, 256, 256),
+    cubic_size: float = 6.0,
+    depth_scale: float = 1000.0,
+    depth_trunc: float = 6.0,
+) -> List[str]:
+    """Walk a 3DMatch-style scene sequence (`frame-XXXXXX.depth.png` +
+    `frame-XXXXXX.pose.txt` + `camera-intrinsics.txt`) and write
+    `cloud_bin_<k>.ply` / `cloud_bin_<k>.pose.npy` per fragment — the output
+    contract of `data/fuse_fragments_3DMatch.py:92-96`."""
+    from imfnet_tpu.geom.ply import write_ply
+
+    os.makedirs(out_dir, exist_ok=True)
+    K = np.loadtxt(osp.join(scene_dir, "camera-intrinsics.txt")).reshape(3, 3)
+    seq = scene_dir
+    if osp.isdir(osp.join(scene_dir, "seq-01")):
+        seq = osp.join(scene_dir, "seq-01")
+    depths = sorted(
+        osp.join(seq, f) for f in os.listdir(seq) if f.endswith(".depth.png")
+    )[::frame_step]
+    written = []
+    n_frags = len(depths) // frames_per_fragment
+    for frag_id in range(n_frags):
+        chunk = depths[frag_id * frames_per_fragment:(frag_id + 1) * frames_per_fragment]
+        poses = [d[: -len(".depth.png")] + ".pose.txt" for d in chunk]
+        pts, pose = fuse_fragment_frames(
+            chunk, poses, K, dims=dims, cubic_size=cubic_size,
+            depth_scale=depth_scale, depth_trunc=depth_trunc)
+        if pts is None:
+            continue
+        ply = osp.join(out_dir, f"cloud_bin_{frag_id}.ply")
+        write_ply(ply, pts.astype(np.float32))
+        np.save(osp.join(out_dir, f"cloud_bin_{frag_id}.pose.npy"), pose)
+        written.append(ply)
+    return written
+
+
 # ---------------------------------------------------------------------------
 # Overlap computation → training pair lists
 # ---------------------------------------------------------------------------
+
+def voxel_down_sample_np(pts: np.ndarray, voxel: float) -> np.ndarray:
+    """Mean-per-voxel downsample (`o3d.voxel_down_sample` semantics used to cap
+    overlap-tool inputs at `data/compute_overlap.py:101-108`)."""
+    keys = np.floor(pts / voxel).astype(np.int64)
+    _, inv, cnt = np.unique(keys, axis=0, return_inverse=True,
+                            return_counts=True)
+    out = np.zeros((len(cnt), pts.shape[1]), np.float64)
+    np.add.at(out, inv, pts)
+    return (out / cnt[:, None]).astype(pts.dtype)
 
 def compute_overlap_pair(
     pts_src: np.ndarray,

@@ -55,6 +55,58 @@ def test_compute_radius(rng):
     np.testing.assert_allclose(interior.mean(), 0.05, atol=0.01)
 
 
+def test_prep_pipeline_cli(tmp_path, capsys):
+    """fuse-fragments → compute-overlap → compute-radius through the CLI on a
+    synthetic wall scene (the reference's offline data/ tool chain)."""
+    import json
+    from PIL import Image
+
+    from imfnet_tpu.cli import main
+    from imfnet_tpu.geom.ply import read_ply
+
+    scene = tmp_path / "scene" / "seq-01"
+    scene.mkdir(parents=True)
+    h, w = 48, 64
+    intr = np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]])
+    np.savetxt(tmp_path / "scene" / "camera-intrinsics.txt", intr)
+    depth_mm = np.full((h, w), 1000, np.uint16)  # wall at z=1m
+    for i in range(6):
+        Image.fromarray(depth_mm).save(
+            scene / f"frame-{i:06d}.depth.png")
+        pose = np.eye(4)
+        pose[0, 3] = 0.02 * i  # slight camera drift
+        np.savetxt(scene / f"frame-{i:06d}.pose.txt", pose)
+
+    frag_dir = tmp_path / "fragments"
+    main(["fuse-fragments", "--scene-dir", str(tmp_path / "scene"),
+          "--out-dir", str(frag_dir), "--frames-per-fragment", "2",
+          "--resolution", "64", "--cubic-size", "3.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["fragments"]) == 3
+    pts = read_ply(out["fragments"][0])["points"]
+    assert len(pts) > 50 and np.abs(pts[:, 2] - 1.0).max() < 0.15
+    # fragment pose must be the base (first) frame's cam2world
+    pose0 = np.load(frag_dir / "cloud_bin_0.pose.npy")
+    np.testing.assert_allclose(pose0[0, 3], 0.0, atol=1e-9)
+    pose1 = np.load(frag_dir / "cloud_bin_1.pose.npy")
+    np.testing.assert_allclose(pose1[0, 3], 0.04, atol=1e-9)
+
+    ov_dir = tmp_path / "overlaps"
+    main(["compute-overlap", "--fragments-dir", str(frag_dir),
+          "--out-dir", str(ov_dir), "--dist-thresh", "0.08"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    names = [(a, b) for a, b, _ in out["pairs"]]
+    assert ("cloud_bin_0", "cloud_bin_2") in names  # same wall → high overlap
+    assert ("cloud_bin_0", "cloud_bin_1") not in names  # adjacent skipped
+    assert (ov_dir / "cloud_bin_0-cloud_bin_2-overlap.txt").exists()
+
+    main(["compute-radius", "--fragments-dir", str(frag_dir)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["radius_files"]) == 3
+    radii = np.load(out["radius_files"][0])
+    assert len(radii) == len(pts) and (radii >= 0).all()
+
+
 def test_visualization_outputs(tmp_path, rng):
     from imfnet_tpu.geom.ply import read_ply
     from imfnet_tpu.utils.visualization import (
