@@ -392,31 +392,75 @@ def quantize_grid(
     lexicographic (batch, x, y, z), the SparseVoxels contract — computed via
     the packed rank index rather than a sort.
 
+    Memory discipline (this is the raw-point hot path, profiled on-chip): the
+    only dense-grid pass is a BYTE occupancy scatter + one reshape-reduction
+    to packed bits. Gathering per-row winners from a dense int32 row grid
+    costs ~14 ms for 512k rows (gather rate collapses with table size, see
+    module docstring); instead each row's scan position comes from the 8 MB
+    packed (bits, rank) table and the min-row winner election happens in a
+    COMPACT ``n_out``-sized table indexed by scan position — duplicates of a
+    cell share the position, so a scatter-min of row indices elects exactly
+    the first occurrence.
+
     Returns (SparseVoxels, sel, xyz_down) like coords.quantize.
     """
     from imfnet_tpu.sparse.coords import SparseVoxels
 
+    X, Y, Z = spec.extent
+    assert Z % 32 == 0, "extent z must be a multiple of 32 (word packing)"
+    B = spec.num_batches
     n = xyz.shape[0]
     v = jnp.floor(xyz / voxel_size).astype(jnp.int32)
     b = jnp.broadcast_to(jnp.asarray(batch_index, jnp.int32), (n,))
     coords4 = jnp.concatenate([b[:, None], v], axis=1)
     origins = batch_origins(coords4, valid, spec.num_batches)
-    g = build_grid(coords4, valid, origins, spec, 0)
+
+    bb = jnp.minimum(coords4[:, 0], B - 1)
+    c = coords4[:, 1:] - jnp.take(origins, jnp.maximum(bb, 0), axis=0)
+    in_range = (
+        valid
+        & (c >= 0).all(axis=1)
+        & (c[:, 0] < X) & (c[:, 1] < Y) & (c[:, 2] < Z)
+    )
+    flat = ((bb * X + c[:, 0]) * Y + c[:, 1]) * Z + c[:, 2]
+    flat = jnp.where(in_range, flat, B * X * Y * Z)
+
+    # dense byte occupancy (duplicates all write 1 → deterministic), packed to
+    # occupancy words by a [W, 32] widening reduce — no scatter-add carries,
+    # so raw duplicated rows are fine. (A movemask on the uint32 byte view
+    # profiled 4.5x SLOWER on TPU: sub-lane minor dims tile badly.)
+    occ = jnp.zeros((B * X * Y * Z + 1,), jnp.uint8).at[flat].set(
+        1, mode="drop")[:-1]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    bits = jnp.sum(
+        occ.reshape(-1, 32).astype(jnp.uint32) * weights[None, :], axis=1)
+    pc = jax.lax.population_count(bits).astype(jnp.int32)
+    rank = _exclusive_cumsum(pc)
+
+    # per-row scan position (shared by duplicates of a cell): the extent is
+    # word-aligned in z, so word/bit are just flat>>5 / flat&31
+    w = jnp.where(in_range, flat >> 5, 0)
+    table2 = jnp.stack([bits.astype(jnp.int32), rank], axis=1)
+    br = jnp.take(table2, w, axis=0)
+    bw = br[:, 0].astype(jnp.uint32)
+    p = (flat & 31).astype(jnp.uint32)
+    below = bw & ((jnp.uint32(1) << p) - 1)
+    pos = br[:, 1] + jax.lax.population_count(below).astype(jnp.int32)
+
+    # winner election and output mapping in ONE compact scatter: duplicates of
+    # a cell share `pos`, so a scatter-min of row indices elects the
+    # first-occurrence (min-row) winner directly into its output slot
     rows = jnp.arange(n, dtype=jnp.int32)
-    win = grid_lookup(g, origins, coords4, valid, spec, 0)
-    keep = valid & (win == rows)
-    # scan position of each kept row = rank of its own cell
-    bits, rank = pack_words(coords4, keep, origins, spec, 0)
-    pos = scan_position(bits, rank, coords4, keep, origins, spec, 0)
-    kept = keep & (pos >= 0)
-    tgt = jnp.where(kept & (pos < n_out), pos, n_out)
-    sel = jnp.full((n_out + 1,), -1, jnp.int32).at[tgt].set(rows, mode="drop")[:n_out]
-    ok = sel >= 0
-    ss = jnp.maximum(sel, 0)
+    slot = jnp.where(in_range & (pos < n_out), pos, n_out)
+    big = jnp.int32(0x7FFFFFFF)
+    sel_raw = jnp.full((n_out + 1,), big, jnp.int32).at[slot].min(rows)[:n_out]
+    ok = sel_raw != big
+    sel = jnp.where(ok, sel_raw, -1)
+    ss = jnp.where(ok, sel_raw, 0)
     uniq = jnp.where(ok[:, None], jnp.take(coords4, ss, axis=0), PAD_COORD)
     f = jnp.where(ok[:, None], jnp.take(feats, ss, axis=0), 0)
     xyz_down = jnp.where(ok[:, None], jnp.take(xyz, ss, axis=0), 0.0)
-    n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), n_out)
+    n_uniq = jnp.sum(ok.astype(jnp.int32))
     return SparseVoxels(uniq, f, n_uniq), sel, xyz_down
 
 
