@@ -46,7 +46,7 @@ def sample_keypoints(key, valid: jax.Array, k: int):
 def make_keypoint_registration(*, voxel_size: float = 0.025,
                                ransac_n: int = 3, num_hypotheses: int = 50000,
                                inlier_thresh: float = 0.1,
-                               hypo_block: int = 2048):
+                               hypo_block: int = 12500):
     """register_kp(key, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov) on
     pre-sampled keypoints — the core of the per-pair evaluation, reusable
     when keypoints come from a batched (multi-fragment) extraction."""
@@ -102,7 +102,7 @@ def make_keypoint_registration(*, voxel_size: float = 0.025,
 
 def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
                            ransac_n: int = 3, num_hypotheses: int = 50000,
-                           inlier_thresh: float = 0.1, hypo_block: int = 2048):
+                           inlier_thresh: float = 0.1, hypo_block: int = 12500):
     """Returns jitted register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, cov) →
     metrics dict {rr, rre, rte, ir, inlier_ratio_mutual, num_inliers, fitness}."""
     register_kp = make_keypoint_registration(

@@ -21,7 +21,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from imfnet_tpu.match.procrustes import kabsch_umeyama
+from imfnet_tpu.match.procrustes import (
+    kabsch_umeyama,
+    kabsch_umeyama_soa,
+    soa_to_matrix,
+)
 from imfnet_tpu.match.metrics import apply_transform
 
 
@@ -85,29 +89,40 @@ def ransac_registration(
         s = jnp.take(src, idx, axis=0)               # [B,n,3]
         d = jnp.take(dst, idx, axis=0)
         # --- edge-length checker (both directions, o3d ratio 0.9) ---
-        di = s[:, :, None, :] - s[:, None, :, :]
-        dj = d[:, :, None, :] - d[:, None, :, :]
-        ls = jnp.linalg.norm(di, axis=-1)
-        ld = jnp.linalg.norm(dj, axis=-1)
-        off_diag = ~jnp.eye(ransac_n, dtype=bool)
-        edge_ok = jnp.all(
-            ((ls > edge_length_ratio * ld) & (ld > edge_length_ratio * ls))
-            | ~off_diag,
-            axis=(1, 2),
-        )
+        # unrolled over the n(n-1)/2 edges: [B]-wide vector ops, no padded
+        # [B,n,n,3] minor dims
+        edge_ok = jnp.ones((hypo_block,), bool)
+        for a in range(ransac_n):
+            for b_ in range(a + 1, ransac_n):
+                ls2 = jnp.sum((s[:, a] - s[:, b_]) ** 2, axis=-1)
+                ld2 = jnp.sum((d[:, a] - d[:, b_]) ** 2, axis=-1)
+                ratio2 = edge_length_ratio ** 2
+                edge_ok &= (ls2 > ratio2 * ld2) & (ld2 > ratio2 * ls2)
         # degenerate duplicate picks → zero edges fail the checker already.
         # 3-point fits need few power iterations — bad hypotheses are culled
-        # by the checkers and the winner is refit over its full inlier set
-        T = kabsch_umeyama(s, d, power_iters=10)     # [B,4,4]
+        # by the checkers and the winner is refit over its full inlier set.
+        # All hypothesis transforms stay in SoA component form ([B] arrays):
+        # a [B,4,4] tensor pads its minor dims to full TPU tiles and the
+        # einsum-style checkers were 4x the cost of the whole fit
+        R, t3 = kabsch_umeyama_soa(s, d, power_iters=10)
         # --- distance checker on the sampled correspondences ---
-        moved = apply_transform(s, T)
-        samp_ok = jnp.all(
-            jnp.linalg.norm(moved - d, axis=-1) <= distance_threshold, axis=-1
-        )
+        samp_ok = jnp.ones((hypo_block,), bool)
+        for p in range(ransac_n):
+            dd = jnp.zeros((hypo_block,), jnp.float32)
+            for i in range(3):
+                mi = (R[i][0] * s[:, p, 0] + R[i][1] * s[:, p, 1]
+                      + R[i][2] * s[:, p, 2] + t3[i])
+                dd += (mi - d[:, p, i]) ** 2
+            samp_ok &= dd <= distance_threshold**2
         ok = edge_ok & samp_ok
-        # --- subset inlier count / rmse ---
-        moved_sub = apply_transform(sub_src[None], T)   # [B,S,3]
-        d2 = jnp.sum((moved_sub - sub_dst[None]) ** 2, axis=-1)
+        # --- subset inlier count / rmse ([B,S] planes, rotation components
+        # broadcast as [B,1] scalars) ---
+        sx, sy, sz = (sub_src[None, :, i] for i in range(3))
+        d2 = jnp.zeros((hypo_block, n_subset), jnp.float32)
+        for i in range(3):
+            mi = (R[i][0][:, None] * sx + R[i][1][:, None] * sy
+                  + R[i][2][:, None] * sz + t3[i][:, None])
+            d2 += (mi - sub_dst[None, :, i]) ** 2
         inl = (d2 <= distance_threshold**2) & sub_valid[None, :]
         count = jnp.sum(inl, axis=1)
         rmse = jnp.sqrt(
@@ -121,7 +136,10 @@ def ransac_registration(
             -1.0,
         )
         b = jnp.argmax(score)
-        return score[b], T[b]
+        T_b = soa_to_matrix(
+            [[R[i][j][b] for j in range(3)] for i in range(3)],
+            [t3[i][b] for i in range(3)])
+        return score[b], T_b
 
     n_blocks = -(-num_hypotheses // hypo_block)
     keys = jax.random.split(key, n_blocks)
