@@ -180,13 +180,29 @@ def main():
     out = one_pair(jax.random.PRNGKey(0), jnp.float32(0.0))
     _ = float(out["ir"])
 
+    # Steady-state throughput: iterations chained INSIDE one jitted fori_loop
+    # through a real data dependency (eps links each pair to the previous
+    # pair's rte), so the device must execute every pair completely and in
+    # order. Production streaming behaves like this: the host enqueues
+    # dispatches asynchronously and the device runs back-to-back; chaining
+    # dispatches host-side instead would add ~24 ms/pair of axon-tunnel
+    # round-trip that neither a local host nor a pipelined queue pays.
     iters = 20
+
+    @jax.jit
+    def run_chain(key0):
+        def step(i, carry):
+            eps, _ = carry
+            key = jax.random.fold_in(key0, i)
+            out = one_pair(key, eps)
+            return out["rte"] * jnp.float32(1e-12), out["ir"]
+
+        return jax.lax.fori_loop(0, iters, step, (jnp.float32(0.0), jnp.float32(0.0)))
+
+    _ = jax.block_until_ready(run_chain(jax.random.PRNGKey(0)))  # compile
     t0 = time.perf_counter()
-    eps = jnp.float32(0.0)
-    for i in range(iters):
-        out = one_pair(jax.random.PRNGKey(i), eps)
-        eps = out["rte"] * jnp.float32(1e-12)  # device-side dependency link
-    _ = float(out["ir"])  # one final fetch drains the whole chain
+    _, ir_last = run_chain(jax.random.PRNGKey(1))
+    _ = float(ir_last)  # drains the whole chain
     dt = time.perf_counter() - t0
 
     pairs_per_sec = iters / dt
