@@ -73,44 +73,77 @@ def generate_descriptors(
     Returns timing stats ('All Time' / 'AVG' report, :190). Extraction is
     shape-bucketed: each fragment runs at the smallest padded size that
     holds its voxel count."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from imfnet_tpu.eval.extract import make_bucketed_extractor
 
     extract = make_bucketed_extractor(model, variables, config=config)
     scenes = scenes or TEST_SCENE_NAMES
-    total_t, count = 0.0, 0
+
+    work = []
     for scene in scenes:
         scene_dir = osp.join(pcloud_root, scene, seq_name)
         out_dir = osp.join(out_root, scene, seq_name)
         os.makedirs(out_dir, exist_ok=True)
         for frag in list_fragments(scene_dir):
             out_path = osp.join(out_dir, frag + ".npz")
-            if osp.exists(out_path):
-                continue
-            ply_path = osp.join(scene_dir, frag + ".ply")
-            points = read_ply(ply_path)["points"].astype(np.float32)
-            img_path = None
-            for suffix in ("_0.png", "_0.jpg"):
-                p = osp.join(scene_dir, frag + suffix)
-                if osp.exists(p):
-                    img_path = p
-                    break
-            if img_path:
-                image = process_image(load_image(img_path),
+            if not osp.exists(out_path):
+                work.append((scene_dir, frag, out_path))
+
+    def load_one(item):
+        scene_dir, frag, out_path = item
+        points = read_ply(osp.join(scene_dir, frag + ".ply"))["points"].astype(np.float32)
+        image = None
+        for suffix in ("_0.png", "_0.jpg"):
+            p = osp.join(scene_dir, frag + suffix)
+            if osp.exists(p):
+                image = process_image(load_image(p),
                                       config.image_H, config.image_W)
-            else:
-                image = np.zeros((config.image_H, config.image_W, 3), np.float32)
-            raw, n_raw = pad_points(points, n_raw_pad)
+                break
+        if image is None:
+            image = np.zeros((config.image_H, config.image_W, 3), np.float32)
+        raw, n_raw = pad_points(points, n_raw_pad)
+        return points, raw, n_raw, image, out_path
+
+    def save_one(out_path, points, xyz_down, feats):
+        np.savez_compressed(
+            out_path,
+            points=points,      # raw input points
+            xyz=xyz_down,       # voxel representatives
+            feature=feats,      # descriptors
+        )
+
+    # PLY/image read-ahead and npz compression run on worker threads (zlib
+    # and file IO release the GIL), so the device pipeline stays busy —
+    # SURVEY.md §7's "host/data pipeline overlap" requirement applied to the
+    # published-benchmark path. The reference loop is fully serial
+    # (`scripts/generate_desc.py:83-123`).
+    total_t, count = 0.0, 0
+    lookahead = 4  # bounded: each prefetched fragment holds ~6 MB host RAM
+    with ThreadPoolExecutor(max_workers=2) as readers, \
+            ThreadPoolExecutor(max_workers=2) as writers:
+        pending_saves = []
+        from collections import deque
+
+        queue = deque(
+            readers.submit(load_one, it) for it in work[:lookahead])
+        next_i = len(queue)
+        while queue:
+            fut = queue.popleft()
+            if next_i < len(work):
+                queue.append(readers.submit(load_one, work[next_i]))
+                next_i += 1
+            points, raw, n_raw, image, out_path = fut.result()
             t0 = time.perf_counter()
             xyz_down, feats = extract(raw, n_raw, jnp.asarray(image[None]))
             dt = time.perf_counter() - t0
             total_t += dt
             count += 1
-            np.savez_compressed(
-                out_path,
-                points=points,      # raw input points
-                xyz=xyz_down,       # voxel representatives
-                feature=feats,      # descriptors
-            )
+            pending_saves.append(
+                writers.submit(save_one, out_path, points,
+                               np.asarray(xyz_down), np.asarray(feats)))
+        for s in pending_saves:
+            s.result()
     stats = {"all_time": total_t, "avg_time": total_t / max(count, 1), "count": count}
     logging.info("All Time: %.3f, AVG: %.4f (%d fragments)",
                  stats["all_time"], stats["avg_time"], stats["count"])
