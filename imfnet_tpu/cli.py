@@ -153,6 +153,29 @@ def cmd_dam(args):
     print(f"DAM written to {args.out}")
 
 
+def cmd_compare(args):
+    from imfnet_tpu.eval.compare import compare_methods
+
+    roots = {}
+    for spec in args.desc_roots:
+        name, _, path = spec.partition("=")
+        roots[name] = path
+    config = _base_config(args)
+    summary = compare_methods(
+        roots, args.benchmark_dir, args.out_root, config,
+        scenes=args.scenes or None)
+    print(json.dumps({k: v for k, v in summary.items() if k != "views"}))
+
+
+def cmd_convert_desc(args):
+    from imfnet_tpu.eval.compare import convert_external_descriptors
+
+    out = convert_external_descriptors(
+        args.desc_root, args.keypoint_root, args.out_root,
+        keypoint_replace=(args.desc_infix, args.keypoint_infix))
+    print(json.dumps({"written": len(out)}))
+
+
 def cmd_fuse_fragments(args):
     from imfnet_tpu.data.offline import fuse_scene
 
@@ -268,6 +291,24 @@ def main(argv=None):
     pk.add_argument("--checkpoint", required=True)
     pk.add_argument("--kitti-root", default=None)
     pk.set_defaults(fn=cmd_eval_kitti)
+
+    pc = sub.add_parser("compare")
+    pc.add_argument("--dataset", default="3dmatch")
+    pc.add_argument("--desc-roots", nargs="+", required=True,
+                    metavar="NAME=PATH",
+                    help="first entry is the primary method")
+    pc.add_argument("--benchmark-dir", required=True)
+    pc.add_argument("--out-root", required=True)
+    pc.add_argument("--scenes", nargs="*", default=None)
+    pc.set_defaults(fn=cmd_compare)
+
+    pcd = sub.add_parser("convert-desc")
+    pcd.add_argument("--desc-root", required=True)
+    pcd.add_argument("--keypoint-root", required=True)
+    pcd.add_argument("--out-root", required=True)
+    pcd.add_argument("--desc-infix", default=".desc.SpinNet.bin")
+    pcd.add_argument("--keypoint-infix", default="_keypts")
+    pcd.set_defaults(fn=cmd_convert_desc)
 
     pf = sub.add_parser("fuse-fragments")
     pf.add_argument("--scene-dir", required=True)

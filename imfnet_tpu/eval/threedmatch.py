@@ -223,6 +223,8 @@ def run_scene_matching(
             "rre": float(out["rre"]),
             "rte": float(out["rte"]),
             "ir": float(out["ir"]),
+            # estimated pose kept for cross-method view export (eval.compare)
+            "transformation": np.asarray(out["transformation"]).tolist(),
         })
 
     payload = {

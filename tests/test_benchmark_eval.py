@@ -91,6 +91,83 @@ def test_evaluate_synthetic_benchmark(tmp_path, seed):
                       f"{scene}-{seq}-{config.inlier_thresh:.2f}.txt")
 
 
+def test_compare_methods_and_convert(tmp_path):
+    """Cross-method comparison: a good method and a broken baseline on the
+    synthetic benchmark; select set = pairs only the good method registers.
+    Also pins the external-descriptor conversion (spinnet_desc reformat)."""
+    from imfnet_tpu.eval.compare import compare_methods, convert_external_descriptors
+
+    rng = np.random.RandomState(3)
+    scene = "synthetic-scene"
+    seq = "seq-01"
+    n_pts, n_desc = 600, 16
+    base = rng.rand(n_pts * 2, 3).astype(np.float32) * 2.0
+    frag_world = [base[:n_pts], base[n_pts // 2: n_pts // 2 + n_pts],
+                  base[n_pts:]]
+    descs_world = rng.randn(n_pts * 2, n_desc).astype(np.float32)
+    descs_world /= np.linalg.norm(descs_world, axis=1, keepdims=True)
+    frag_desc = [descs_world[:n_pts],
+                 descs_world[n_pts // 2: n_pts // 2 + n_pts],
+                 descs_world[n_pts:]]
+
+    bench_dir = tmp_path / "benchmarks"
+    scene_bench = bench_dir / scene
+    os.makedirs(scene_bench)
+    poses = [np.eye(4, dtype=np.float32)]
+    for _ in range(2):
+        poses.append(sample_random_trans(base, rng).astype(np.float32))
+    roots = {"GOOD": tmp_path / "good", "BAD": tmp_path / "bad"}
+    for method, root in roots.items():
+        scene_desc = root / scene / seq
+        os.makedirs(scene_desc)
+        for k in range(3):
+            inv = np.linalg.inv(poses[k])
+            local = frag_world[k] @ inv[:3, :3].T + inv[:3, 3]
+            feat = (frag_desc[k] if method == "GOOD"
+                    else rng.randn(n_pts, n_desc).astype(np.float32))
+            np.savez_compressed(scene_desc / f"cloud_bin_{k}.npz",
+                                points=local, xyz=local, feature=feat)
+    pairs = [(0, 1), (1, 2)]
+    with open(scene_bench / "gt.log", "w") as flog, \
+         open(scene_bench / "gt.info", "w") as finfo:
+        for i, j in pairs:
+            T = np.linalg.inv(poses[i]) @ poses[j]
+            flog.write(f"{i} {j} 3\n")
+            for r in range(4):
+                flog.write("\t".join(f"{v:.12f}" for v in T[r]) + "\n")
+            finfo.write(f"{i} {j} 3\n")
+            cov = np.eye(6) * 400.0
+            for r in range(6):
+                finfo.write("\t".join(f"{v:.6f}" for v in cov[r]) + "\n")
+
+    config = threedmatch_config(
+        num_rand_keypoints=256, ransac_max_iteration=4096, ransac_n=3)
+    summary = compare_methods(
+        {m: str(p) for m, p in roots.items()}, str(bench_dir),
+        str(tmp_path / "cmp"), config, scenes=[scene], seq_name=seq)
+    assert summary["per_method"]["GOOD"]["rr"] == 1.0
+    assert summary["per_method"]["BAD"]["rr"] < 0.5
+    assert len(summary["select"]) >= 1
+    assert osp.exists(summary["csv"])
+    first = summary["views"][0]
+    assert osp.exists(tmp_path / "cmp" / "select_views" / (first + "-before.ply"))
+    assert osp.exists(tmp_path / "cmp" / "select_views" / (first + "-after.ply"))
+
+    # --- external conversion (spinnet_desc reformat) ---
+    ext_desc = tmp_path / "ext" / scene
+    kp_root = tmp_path / "kp" / scene
+    os.makedirs(ext_desc)
+    os.makedirs(kp_root)
+    np.save(ext_desc / "cloud_bin_0.desc.SpinNet.bin.npy", frag_desc[0])
+    np.save(kp_root / "cloud_bin_0_keypts.npy", frag_world[0])
+    out = convert_external_descriptors(
+        str(tmp_path / "ext"), str(tmp_path / "kp"), str(tmp_path / "ext_npz"))
+    assert len(out) == 1
+    d = np.load(out[0])
+    assert set(d.files) == {"xyz", "feature"}
+    assert d["feature"].shape == (n_pts, n_desc)
+
+
 def test_generate_descriptors_writes_npz(tmp_path, rng=None):
     """PLY scene → bucketed extraction → .npz{points,xyz,feature} artifacts
     (`scripts/generate_desc.py:44-133` contract)."""
