@@ -143,11 +143,8 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     return pairs, ok
 
 
-def make_train_step(model, tx, config: Config, axis_name: str | None = None):
-    """Returns train_step(state, batch, key) → (state, metrics). When
-    ``axis_name`` is set the step is shard_map-compatible: grads/stats are
-    pmean'd over that mesh axis (data parallel over fragment pairs — new
-    capability vs the single-GPU reference, SURVEY.md §2.3)."""
+def make_loss_fn(model, config: Config):
+    """loss_fn(params, batch_stats, batch, key) → (loss, (metrics, stats))."""
     loss_kind = LOSS_FNS[config.trainer]
 
     def loss_fn(params, batch_stats, batch: PairBatch, key):
@@ -197,6 +194,16 @@ def make_train_step(model, tx, config: Config, axis_name: str | None = None):
             metrics = {"loss": loss, "pos_dist": pd, "neg_dist": nd}
         return loss, (metrics, new_stats)
 
+    return loss_fn
+
+
+def make_train_step(model, tx, config: Config, axis_name: str | None = None):
+    """Returns train_step(state, batch, key) → (state, metrics). When
+    ``axis_name`` is set the step is shard_map-compatible: grads/stats are
+    pmean'd over that mesh axis (data parallel over fragment pairs — new
+    capability vs the single-GPU reference, SURVEY.md §2.3)."""
+    loss_fn = make_loss_fn(model, config)
+
     def train_step(state: TrainState, batch: PairBatch, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(
@@ -217,3 +224,38 @@ def make_train_step(model, tx, config: Config, axis_name: str | None = None):
         return state, metrics
 
     return train_step
+
+
+def make_accum_steps(model, tx, config: Config):
+    """Gradient accumulation over ``config.iter_size`` micro-batches — the
+    reference's only scaling knob (`lib/trainer.py:252-307`: loss is divided
+    by iter_size, backward accumulates, one optimizer step per group; BN
+    running stats update every micro-batch).
+
+    Returns (grad_step, apply_step):
+      grad_step(params, batch_stats, batch, key, grads_acc) →
+          (grads_acc', metrics, new_batch_stats) — call per micro-batch with
+          a zero grads tree to start the group; losses are pre-scaled by
+          1/iter_size so the accumulated tree is the group-mean gradient
+      apply_step(state, grads_acc, batch_stats) → state — one optimizer step
+    """
+    loss_fn = make_loss_fn(model, config)
+    scale = 1.0 / float(max(config.iter_size, 1))
+
+    def grad_step(params, batch_stats, batch: PairBatch, key, grads_acc):
+        def scaled_loss(p, bs, b, k):
+            loss, aux = loss_fn(p, bs, b, k)
+            return loss * scale, aux
+
+        grad_fn = jax.value_and_grad(scaled_loss, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(params, batch_stats, batch, key)
+        acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        return acc, metrics, new_stats
+
+    def apply_step(state: TrainState, grads_acc, batch_stats):
+        updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=batch_stats, opt_state=opt_state)
+
+    return jax.jit(grad_step), jax.jit(apply_step)

@@ -83,6 +83,11 @@ class Trainer:
         self.model = build_model_from_config(config)
         self.tx = make_optimizer(config, steps_per_epoch or len(data_loader))
         self.train_step = jax.jit(make_train_step(self.model, self.tx, config))
+        if config.iter_size > 1:
+            from imfnet_tpu.train.step import make_accum_steps
+
+            self.grad_step, self.apply_step = make_accum_steps(
+                self.model, self.tx, config)
         self.val_step = make_val_step(self.model, config)
 
         self.best_val_metric = config.best_val_metric
@@ -151,14 +156,34 @@ class Trainer:
         total_timer, data_timer = Timer(), Timer()
         loss_meter = AverageMeter()
         it = iter(self.data_loader)
-        n_iter = len(self.data_loader)
+        # iter_size gradient accumulation: n_iter optimizer steps consume
+        # n_iter*iter_size loader batches (`lib/trainer.py:252-307` semantics)
+        n_iter = len(self.data_loader) // max(config.iter_size, 1)
         for curr_iter in range(n_iter):
             total_timer.tic()
             data_timer.tic()
             batch = next(it)
             data_timer.toc()
             self.key, sub = jax.random.split(self.key)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            if config.iter_size > 1:
+                grads = jax.tree_util.tree_map(
+                    jnp.zeros_like, self.state.params)
+                stats = self.state.batch_stats
+                group = {}
+                for micro in range(config.iter_size):
+                    if micro > 0:
+                        data_timer.tic()
+                        batch = next(it)
+                        data_timer.toc()
+                        self.key, sub = jax.random.split(self.key)
+                    grads, metrics, stats = self.grad_step(
+                        self.state.params, stats, batch, sub, grads)
+                    for k, v in metrics.items():
+                        group[k] = group.get(k, 0.0) + float(v) / config.iter_size
+                self.state = self.apply_step(self.state, grads, stats)
+                metrics = group
+            else:
+                self.state, metrics = self.train_step(self.state, batch, sub)
             loss = float(metrics["loss"])
             loss_meter.update(loss)
             total_timer.toc()

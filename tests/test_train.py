@@ -108,6 +108,44 @@ def test_compute_correspondences(rng):
     assert (d <= 0.0375 + 1e-5).all()
 
 
+def test_grad_accumulation_matches_fused_step(rng):
+    """iter_size accumulation over identical micro-batches must produce the
+    same parameter update as one fused train step (grads are computed at
+    fixed params and pre-scaled by 1/iter_size)."""
+    from imfnet_tpu.train.step import make_accum_steps
+
+    config = small_config().replace(iter_size=2)
+    model = make_model(config)
+    batch = synthetic_batch(rng, batch_size=2, n_points=500,
+                            n_pad=config.max_points, image_hw=(24, 32))
+    sv0 = SparseVoxels(batch.coords0, batch.feats0, batch.n0)
+    pyr0 = build_pyramid(batch.coords0, batch.n0,
+                         conv1_kernel_size=config.conv1_kernel_size,
+                         level_capacity=level_capacities(config.max_points))
+    variables = model.init(jax.random.PRNGKey(0), sv0, pyr0, batch.image0,
+                           train=False)
+    tx = make_optimizer(config, steps_per_epoch=10)
+    state0 = create_train_state(variables, tx)
+
+    fused = jax.jit(make_train_step(model, tx, config.replace(iter_size=1)))
+    state_f, metrics_f = fused(state0, batch, jax.random.PRNGKey(7))
+
+    grad_step, apply_step = make_accum_steps(model, tx, config)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, state0.params)
+    stats = state0.batch_stats
+    for _ in range(2):
+        grads, metrics_a, stats = grad_step(
+            state0.params, stats, batch, jax.random.PRNGKey(7), grads)
+    state_a = apply_step(state0, grads, stats)
+
+    flat_f = jax.tree_util.tree_leaves(state_f.params)
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    for a, b in zip(flat_f, flat_a):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    assert np.isfinite(float(metrics_a["loss"]))
+
+
 @pytest.mark.slow
 def test_train_step_decreases_loss(rng):
     config = small_config()
