@@ -113,6 +113,32 @@ def test_fits_grid():
     assert not G.fits_grid(c, 2, G.GridSpec(extent=(32, 64, 64)))
 
 
+def test_quantize_grid_capacity_overflow(rng):
+    """n_out smaller than the unique-cell count keeps exactly the scan-order
+    prefix, with min-row (first-occurrence) winners."""
+    xyz = (rng.rand(400, 3).astype(np.float32) - 0.5) * 2
+    xyz = np.concatenate([xyz, xyz[:100]])  # guaranteed duplicates
+    feats = np.arange(500, dtype=np.float32)[:, None]
+    valid = jnp.ones(500, bool)
+    spec = G.GridSpec(extent=(128, 128, 128), num_batches=1)
+    n_out = 64
+    sv, sel, xd = G.quantize_grid(jnp.asarray(xyz), jnp.asarray(feats),
+                                  valid, 0.05, n_out, spec)
+    assert int(sv.num_valid) == n_out
+    coords = np.asarray(sv.coords)[:n_out]
+    assert (coords != np.asarray(PAD_COORD)).any(axis=1).all()
+    # scan order within the output
+    keys = [tuple(c) for c in coords]
+    assert keys == sorted(keys)
+    # each representative is the min original row of its cell
+    v = np.floor(xyz / 0.05).astype(np.int32)
+    first = {}
+    for i, cell in enumerate(map(tuple, v)):
+        first.setdefault(cell, i)
+    for c, s in zip(coords, np.asarray(sel)[:n_out]):
+        assert first[tuple(c[1:])] == int(s)
+
+
 def test_quantize_grid_matches_sort_quantize(rng):
     from imfnet_tpu.sparse.coords import quantize
 
