@@ -392,22 +392,20 @@ def quantize_grid(
     lexicographic (batch, x, y, z), the SparseVoxels contract — computed via
     the packed rank index rather than a sort.
 
-    Memory discipline (this is the raw-point hot path, profiled on-chip): the
-    only dense-grid pass is a BYTE occupancy scatter + one reshape-reduction
-    to packed bits. Gathering per-row winners from a dense int32 row grid
-    costs ~14 ms for 512k rows (gather rate collapses with table size, see
-    module docstring); instead each row's scan position comes from the 8 MB
-    packed (bits, rank) table and the min-row winner election happens in a
-    COMPACT ``n_out``-sized table indexed by scan position — duplicates of a
-    cell share the position, so a scatter-min of row indices elects exactly
-    the first occurrence.
+    Implementation (this is the raw-point hot path, profiled on-chip): a
+    single stable 2-key sort of (cell-key, z, row). Stability makes the first
+    row of every equal-key run the min original row, run starts mark unique
+    cells, and their exclusive-cumsum positions ARE the scan-order output
+    slots. This replaced a dense-occupancy variant (byte scatter + packed
+    bits + compact winner election, 16 ms) at ~10 ms for 512k rows — XLA's
+    TPU sort at 3.8 ms beats the 6 ms dense scatter plus the per-row
+    position gathers it needed.
 
     Returns (SparseVoxels, sel, xyz_down) like coords.quantize.
     """
     from imfnet_tpu.sparse.coords import SparseVoxels
 
     X, Y, Z = spec.extent
-    assert Z % 32 == 0, "extent z must be a multiple of 32 (word packing)"
     B = spec.num_batches
     n = xyz.shape[0]
     v = jnp.floor(xyz / voxel_size).astype(jnp.int32)
@@ -422,38 +420,24 @@ def quantize_grid(
         & (c >= 0).all(axis=1)
         & (c[:, 0] < X) & (c[:, 1] < Y) & (c[:, 2] < Z)
     )
-    flat = ((bb * X + c[:, 0]) * Y + c[:, 1]) * Z + c[:, 2]
-    flat = jnp.where(in_range, flat, B * X * Y * Z)
-
-    # dense byte occupancy (duplicates all write 1 → deterministic), packed to
-    # occupancy words by a [W, 32] widening reduce — no scatter-add carries,
-    # so raw duplicated rows are fine. (A movemask on the uint32 byte view
-    # profiled 4.5x SLOWER on TPU: sub-lane minor dims tile badly.)
-    occ = jnp.zeros((B * X * Y * Z + 1,), jnp.uint8).at[flat].set(
-        1, mode="drop")[:-1]
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    bits = jnp.sum(
-        occ.reshape(-1, 32).astype(jnp.uint32) * weights[None, :], axis=1)
-    pc = jax.lax.population_count(bits).astype(jnp.int32)
-    rank = _exclusive_cumsum(pc)
-
-    # per-row scan position (shared by duplicates of a cell): the extent is
-    # word-aligned in z, so word/bit are just flat>>5 / flat&31
-    w = jnp.where(in_range, flat >> 5, 0)
-    table2 = jnp.stack([bits.astype(jnp.int32), rank], axis=1)
-    br = jnp.take(table2, w, axis=0)
-    bw = br[:, 0].astype(jnp.uint32)
-    p = (flat & 31).astype(jnp.uint32)
-    below = bw & ((jnp.uint32(1) << p) - 1)
-    pos = br[:, 1] + jax.lax.population_count(below).astype(jnp.int32)
-
-    # winner election and output mapping in ONE compact scatter: duplicates of
-    # a cell share `pos`, so a scatter-min of row indices elects the
-    # first-occurrence (min-row) winner directly into its output slot
-    rows = jnp.arange(n, dtype=jnp.int32)
-    slot = jnp.where(in_range & (pos < n_out), pos, n_out)
     big = jnp.int32(0x7FFFFFFF)
-    sel_raw = jnp.full((n_out + 1,), big, jnp.int32).at[slot].min(rows)[:n_out]
+    # lexicographic (b, x, y) in one int32 key (fits: B*X*Y ≤ 2*704² < 2^31);
+    # z is the second sort key, so the sorted order IS scan (key) order —
+    # per-batch origins are constant shifts and preserve it
+    hi = jnp.where(in_range, (bb * X + c[:, 0]) * Y + c[:, 1], big)
+    lo = jnp.where(in_range, c[:, 2], big)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    sh, sl, sr = jax.lax.sort((hi, lo, rows), num_keys=2, is_stable=True)
+
+    ok_sorted = sh != big
+    first = ok_sorted & jnp.concatenate([
+        jnp.ones((1,), bool),
+        (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]),
+    ])
+    pos = _exclusive_cumsum(first.astype(jnp.int32))
+    slot = jnp.where(first & (pos < n_out), pos, n_out)
+    sel_raw = jnp.full((n_out + 1,), big, jnp.int32).at[slot].set(
+        sr, mode="drop")[:n_out]
     ok = sel_raw != big
     sel = jnp.where(ok, sel_raw, -1)
     ss = jnp.where(ok, sel_raw, 0)
