@@ -112,24 +112,22 @@ def kabsch_umeyama_soa(
                          for i in range(4) for j in range(4))) + 1e-9
     Ks = [[(K[i][j] + shift if i == j else K[i][j]) for j in range(4)]
           for i in range(4)]
-    M0 = jnp.stack([jnp.stack([Ks[i][j] / shift for j in range(4)], axis=0)
-                    for i in range(4)], axis=0)     # [4,4,..]
+    M = [[Ks[i][j] / shift for j in range(4)] for i in range(4)]
 
-    def square(_, M):
-        S = [[None] * 4 for _ in range(4)]
-        for i in range(4):
-            for j in range(4):
-                S[i][j] = (M[i, 0] * M[0, j] + M[i, 1] * M[1, j]
-                           + M[i, 2] * M[2, j] + M[i, 3] * M[3, j])
-        nrm = jnp.sqrt(sum(S[i][j] * S[i][j]
-                           for i in range(4) for j in range(4)))
-        inv = 1.0 / jnp.maximum(nrm, 1e-30)
-        return jnp.stack([jnp.stack([S[i][j] * inv for j in range(4)], axis=0)
-                          for i in range(4)], axis=0)
+    # statically unrolled squaring (components stay separate [..] arrays):
+    # a lax.fori_loop here is latency-bound on these tiny per-component
+    # arrays and forces stack/unstack at the carry boundary
+    for _ in range(max(1, power_iters // 2)):
+        S = [[(M[i][0] * M[0][j] + M[i][1] * M[1][j]
+               + M[i][2] * M[2][j] + M[i][3] * M[3][j])
+              for j in range(4)] for i in range(4)]
+        inv = jax.lax.rsqrt(jnp.maximum(
+            sum(S[i][j] * S[i][j] for i in range(4) for j in range(4)),
+            1e-30))
+        M = [[S[i][j] * inv for j in range(4)] for i in range(4)]
 
-    M = jax.lax.fori_loop(0, max(1, power_iters // 2), square, M0)
     v0 = (0.7, 0.5, 0.4, 0.3)
-    q = [sum(M[i, j] * v0[j] for j in range(4)) for i in range(4)]
+    q = [sum(M[i][j] * v0[j] for j in range(4)) for i in range(4)]
     qn = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in q), 1e-24))
     q = [x * qn for x in q]
     # one exact polish step against the original shifted matrix
