@@ -27,7 +27,7 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr=None, out_mask=None, occupancy=False,
-                 nbr_inv=None):
+                 nbr_inv=None, z_adjacent=False):
         if occupancy and self.in_channels == 1:
             # occupancy-1 inputs: conv = (neighbor-exists) @ W, one MXU matmul
             w = self.param(
@@ -71,6 +71,7 @@ class SparseConv(nn.Module):
         return sparse_conv(
             feats, nbr, w, bias=b, out_mask=out_mask,
             compute_dtype=self.compute_dtype, nbr_inv=nbr_inv,
+            z_adjacent=z_adjacent,
         )
 
 
@@ -137,14 +138,14 @@ class SparseBasicBlock(nn.Module):
         # a stride-1 map is its own exact inverse (up to the offset flip the
         # conv backward applies), enabling the scatter-free backward
         out = SparseConv(self.channels, self.channels, 27, compute_dtype=self.compute_dtype)(
-            feats, nbr, nbr_inv=nbr
+            feats, nbr, nbr_inv=nbr, z_adjacent=True
         )
         out = SparseNorm(self.norm_type, self.channels, self.bn_momentum)(
             out, mask, num_valid, batch_ids, max_batch, train=train
         )
         out = nn.relu(out)
         out = SparseConv(self.channels, self.channels, 27, compute_dtype=self.compute_dtype)(
-            out, nbr, nbr_inv=nbr
+            out, nbr, nbr_inv=nbr, z_adjacent=True
         )
         out = SparseNorm(self.norm_type, self.channels, self.bn_momentum)(
             out, mask, num_valid, batch_ids, max_batch, train=train

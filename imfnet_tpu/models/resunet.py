@@ -97,17 +97,17 @@ class ResUNetIMF(nn.Module):
         out_s1 = block(out, 0, ch[0], "block1")
 
         out = SparseConv(ch[0], ch[1], 27, compute_dtype=dt, name="conv2")(
-            out_s1, lv[1].down, nbr_inv=lv[0].up)
+            out_s1, lv[1].down, nbr_inv=lv[0].up, z_adjacent=True)
         out = norm(out, 1, ch[1], "norm2")
         out_s2 = block(out, 1, ch[1], "block2")
 
         out = SparseConv(ch[1], ch[2], 27, compute_dtype=dt, name="conv3")(
-            out_s2, lv[2].down, nbr_inv=lv[1].up)
+            out_s2, lv[2].down, nbr_inv=lv[1].up, z_adjacent=True)
         out = norm(out, 2, ch[2], "norm3")
         out_s4 = block(out, 2, ch[2], "block3")
 
         out = SparseConv(ch[2], ch[3], 27, compute_dtype=dt, name="conv4")(
-            out_s4, lv[3].down, nbr_inv=lv[2].up)
+            out_s4, lv[3].down, nbr_inv=lv[2].up, z_adjacent=True)
         out = norm(out, 3, ch[3], "norm4")
         out = block(out, 3, ch[3], "block4")
 

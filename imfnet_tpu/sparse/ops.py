@@ -77,26 +77,86 @@ def _mul_first_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
     return acc
 
 
-def _apply(x, nbr, w):
-    """Pick gather-first vs mul-first by gather bytes: Cout < Cin → gather
-    the narrower product rows (see _mul_first_apply)."""
+def _z3_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
+    """One 3-row-wide gather per (dx, dy) column instead of 3 row gathers.
+
+    Valid ONLY for kernel maps with the z-adjacency property: tables are in
+    scan (key) order, so the existing members of a column's {z-1, z, z+1}
+    target triple occupy CONSECUTIVE rows, and the kernel offsets enumerate
+    dz fastest (itertools.product order). The gather wall is per-row cost
+    (see STATUS), so k²=9 wide gathers beat k³=27 narrow ones ~2x.
+
+    For each column: anchor = first existing target row; the gathered window
+    [x[a], x[a+1], x[a+2]] holds the existing targets at positions
+    (0, em1, em1+e0); an existence-driven select routes window positions to
+    dz slots before the GEMM.
+    """
+    n_in, cin = x.shape
+    n_out, k = nbr.shape
+    assert k % 3 == 0
+    ncol = k // 3
+    cout = w.shape[2]
+    # window table: x3[j] = [x[j], x[j+1], x[j+2]], tail-padded with zeros;
+    # one extra all-zero row is the no-targets sentinel
+    xp = jnp.concatenate([x, jnp.zeros((2, cin), x.dtype)], axis=0)
+    x3 = jnp.concatenate(
+        [xp[0:n_in], xp[1:n_in + 1], xp[2:n_in + 2]], axis=1)
+    x3_ext = jnp.concatenate([x3, jnp.zeros((1, 3 * cin), x.dtype)], axis=0)
+
+    nbr3 = nbr.reshape(n_out, ncol, 3)
+    rm1, r0, rp1 = nbr3[..., 0], nbr3[..., 1], nbr3[..., 2]
+    em1, e0, ep1 = rm1 >= 0, r0 >= 0, rp1 >= 0
+    anchor = jnp.where(em1, rm1,
+                       jnp.where(e0, r0, jnp.where(ep1, rp1, n_in)))
+    g = jnp.take(x3_ext, anchor, axis=0).reshape(n_out, ncol, 3, cin)
+
+    # window position of each dz slot among the existing targets
+    p0 = em1.astype(jnp.int32)              # position of dz=0
+    pp = p0 + e0.astype(jnp.int32)          # position of dz=+1
+    zero = jnp.zeros_like(g[:, :, 0, :])
+
+    def pick(pos, exists):
+        v = jnp.where((pos == 1)[..., None], g[:, :, 1, :], g[:, :, 0, :])
+        v = jnp.where((pos == 2)[..., None], g[:, :, 2, :], v)
+        return jnp.where(exists[..., None], v, zero)
+
+    sel = jnp.stack([
+        jnp.where(em1[..., None], g[:, :, 0, :], zero),   # dz=-1 → window 0
+        pick(p0, e0),
+        pick(pp, ep1),
+    ], axis=2)                                            # [N, ncol, 3, Cin]
+    return jax.lax.dot_general(
+        sel.reshape(n_out, k * cin), w.reshape(k * cin, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _apply(x, nbr, w, z_adjacent: bool = False):
+    """Pick the gather strategy by measured gather cost: z-window gathers
+    when the map guarantees z-adjacency, else mul-first when Cout < Cin
+    (narrower product rows), else gather-first."""
+    if z_adjacent and nbr.shape[1] % 3 == 0:
+        return _z3_apply(x, nbr, w)
     if w.shape[2] < w.shape[1]:
         return _mul_first_apply(x, nbr, w)
     return _flat_apply(x, nbr, w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _conv_with_transpose_bwd(compute_dtype, feats, nbr, nbr_inv, weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_with_transpose_bwd(compute_dtype, z_adjacent, feats, nbr, nbr_inv,
+                             weight):
     return _apply(feats.astype(compute_dtype), nbr,
-                  weight.astype(compute_dtype))
+                  weight.astype(compute_dtype), z_adjacent=z_adjacent)
 
 
-def _conv_tb_fwd(compute_dtype, feats, nbr, nbr_inv, weight):
-    out = _conv_with_transpose_bwd(compute_dtype, feats, nbr, nbr_inv, weight)
+def _conv_tb_fwd(compute_dtype, z_adjacent, feats, nbr, nbr_inv, weight):
+    out = _conv_with_transpose_bwd(compute_dtype, z_adjacent, feats, nbr,
+                                   nbr_inv, weight)
     return out, (feats, nbr, nbr_inv, weight)
 
 
-def _conv_tb_bwd(compute_dtype, res, dy):
+def _conv_tb_bwd(compute_dtype, z_adjacent, res, dy):
     """Scatter-free backward: the cotangent w.r.t. the input features is
     ANOTHER gather-GEMM through the map's exact inverse (`nbr_inv`; for a
     stride-1 map the map itself, for down/up convs the sibling up/down map of
@@ -143,6 +203,7 @@ def sparse_conv(
     compute_dtype=jnp.bfloat16,
     impl: str = "flat",      # 'flat' (one gather + one GEMM) | 'scan'
     nbr_inv: Optional[jax.Array] = None,  # int32[N_in, K] exact inverse map
+    z_adjacent: bool = False,  # map guarantees the z-window property (_z3_apply)
 ) -> jax.Array:
     """Sparse convolution. Returns [N_out, Cout] float32. Padding/missing
     neighbors contribute zero, so rows with no valid neighbor come out
@@ -166,10 +227,10 @@ def sparse_conv(
     x = feats.astype(compute_dtype)
 
     if impl == "flat" and nbr_inv is not None:
-        acc = _conv_with_transpose_bwd(compute_dtype, feats, nbr, nbr_inv,
-                                       weight)
+        acc = _conv_with_transpose_bwd(compute_dtype, z_adjacent, feats, nbr,
+                                       nbr_inv, weight)
     elif impl == "flat":
-        acc = _apply(x, nbr, w)
+        acc = _apply(x, nbr, w, z_adjacent=z_adjacent)
     else:
         def step(acc, inputs):
             nbr_k, w_k = inputs
