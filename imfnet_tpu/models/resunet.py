@@ -92,7 +92,7 @@ class ResUNetIMF(nn.Module):
                          name="conv1")(
             sv.feats, pyramid.k5_l0,
             occupancy=self.conv1_occupancy and self.in_channels == 1,
-            nbr_inv=pyramid.k5_l0)
+            nbr_inv=pyramid.k5_l0, z_adjacent=True)
         out = norm(out, 0, ch[0], "norm1")
         out_s1 = block(out, 0, ch[0], "block1")
 

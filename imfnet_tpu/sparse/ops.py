@@ -77,54 +77,55 @@ def _mul_first_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
     return acc
 
 
-def _z3_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
-    """One 3-row-wide gather per (dx, dy) column instead of 3 row gathers.
+def _zwin_gather(x: jax.Array, nbr: jax.Array, kz: int) -> jax.Array:
+    """The z-window gather shared by forward and dW: one ``kz``-row-wide
+    gather per (dx, dy) column, existence-routed to dz slots. Returns the
+    same [N_out, K, Cin] block _flat_apply's gather produces.
 
     Valid ONLY for kernel maps with the z-adjacency property: tables are in
-    scan (key) order, so the existing members of a column's {z-1, z, z+1}
-    target triple occupy CONSECUTIVE rows, and the kernel offsets enumerate
-    dz fastest (itertools.product order). The gather wall is per-row cost
-    (see STATUS), so k²=9 wide gathers beat k³=27 narrow ones ~2x.
+    scan (key) order, so the existing members of a column's consecutive-z
+    target set occupy CONSECUTIVE rows, and the kernel offsets enumerate dz
+    fastest (itertools.product order). The gather wall is per-row cost (see
+    STATUS), so k² wide gathers beat k³ narrow ones ~2x.
 
-    For each column: anchor = first existing target row; the gathered window
-    [x[a], x[a+1], x[a+2]] holds the existing targets at positions
-    (0, em1, em1+e0); an existence-driven select routes window positions to
-    dz slots before the GEMM.
+    Per column: anchor = first existing target row; target dz=d sits at
+    window position (number of existing targets above it), selected by a
+    where-chain before the GEMM.
     """
     n_in, cin = x.shape
     n_out, k = nbr.shape
-    assert k % 3 == 0
-    ncol = k // 3
-    cout = w.shape[2]
-    # window table: x3[j] = [x[j], x[j+1], x[j+2]], tail-padded with zeros;
+    ncol = k // kz
+    # window table: xw[j] = [x[j], ..., x[j+kz-1]], tail-padded with zeros;
     # one extra all-zero row is the no-targets sentinel
-    xp = jnp.concatenate([x, jnp.zeros((2, cin), x.dtype)], axis=0)
-    x3 = jnp.concatenate(
-        [xp[0:n_in], xp[1:n_in + 1], xp[2:n_in + 2]], axis=1)
-    x3_ext = jnp.concatenate([x3, jnp.zeros((1, 3 * cin), x.dtype)], axis=0)
+    xp = jnp.concatenate([x, jnp.zeros((kz - 1, cin), x.dtype)], axis=0)
+    xw = jnp.concatenate([xp[j:n_in + j] for j in range(kz)], axis=1)
+    xw_ext = jnp.concatenate([xw, jnp.zeros((1, kz * cin), x.dtype)], axis=0)
 
-    nbr3 = nbr.reshape(n_out, ncol, 3)
-    rm1, r0, rp1 = nbr3[..., 0], nbr3[..., 1], nbr3[..., 2]
-    em1, e0, ep1 = rm1 >= 0, r0 >= 0, rp1 >= 0
-    anchor = jnp.where(em1, rm1,
-                       jnp.where(e0, r0, jnp.where(ep1, rp1, n_in)))
-    g = jnp.take(x3_ext, anchor, axis=0).reshape(n_out, ncol, 3, cin)
+    nbrw = nbr.reshape(n_out, ncol, kz)
+    exists = nbrw >= 0                                     # [N, ncol, kz]
+    anchor = jnp.full(nbrw.shape[:2], n_in, jnp.int32)
+    for d in range(kz - 1, -1, -1):
+        anchor = jnp.where(exists[..., d], nbrw[..., d], anchor)
+    g = jnp.take(xw_ext, anchor, axis=0).reshape(n_out, ncol, kz, cin)
 
-    # window position of each dz slot among the existing targets
-    p0 = em1.astype(jnp.int32)              # position of dz=0
-    pp = p0 + e0.astype(jnp.int32)          # position of dz=+1
+    # window position of dz slot d = count of existing targets above it
+    pos = jnp.cumsum(exists.astype(jnp.int32), axis=-1) - exists.astype(jnp.int32)
     zero = jnp.zeros_like(g[:, :, 0, :])
+    slots = []
+    for d in range(kz):
+        v = g[:, :, 0, :]
+        for p in range(1, kz):
+            v = jnp.where((pos[..., d] == p)[..., None], g[:, :, p, :], v)
+        slots.append(jnp.where(exists[..., d, None], v, zero))
+    return jnp.stack(slots, axis=2).reshape(n_out, k, cin)
 
-    def pick(pos, exists):
-        v = jnp.where((pos == 1)[..., None], g[:, :, 1, :], g[:, :, 0, :])
-        v = jnp.where((pos == 2)[..., None], g[:, :, 2, :], v)
-        return jnp.where(exists[..., None], v, zero)
 
-    sel = jnp.stack([
-        jnp.where(em1[..., None], g[:, :, 0, :], zero),   # dz=-1 → window 0
-        pick(p0, e0),
-        pick(pp, ep1),
-    ], axis=2)                                            # [N, ncol, 3, Cin]
+def _z3_apply(x: jax.Array, nbr: jax.Array, w: jax.Array, kz: int = 3) -> jax.Array:
+    """z-window gather + one GEMM (see _zwin_gather)."""
+    n_out, k = nbr.shape
+    cin = x.shape[1]
+    cout = w.shape[2]
+    sel = _zwin_gather(x, nbr, kz)
     return jax.lax.dot_general(
         sel.reshape(n_out, k * cin), w.reshape(k * cin, cout),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -132,12 +133,19 @@ def _z3_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+def _kz_of(k: int) -> int:
+    """Kernel z-extent for cubic kernel volumes (27 → 3, 125 → 5)."""
+    kz = round(k ** (1 / 3))
+    return kz if kz ** 3 == k else 0
+
+
 def _apply(x, nbr, w, z_adjacent: bool = False):
     """Pick the gather strategy by measured gather cost: z-window gathers
     when the map guarantees z-adjacency, else mul-first when Cout < Cin
     (narrower product rows), else gather-first."""
-    if z_adjacent and nbr.shape[1] % 3 == 0:
-        return _z3_apply(x, nbr, w)
+    kz = _kz_of(nbr.shape[1])
+    if z_adjacent and kz >= 3:
+        return _z3_apply(x, nbr, w, kz)
     if w.shape[2] < w.shape[1]:
         return _mul_first_apply(x, nbr, w)
     return _flat_apply(x, nbr, w)
@@ -171,13 +179,18 @@ def _conv_tb_bwd(compute_dtype, z_adjacent, res, dy):
     feats, nbr, nbr_inv, weight = res
     dt = compute_dtype
     dyc = dy.astype(dt)
-    # dW[k] = gathered(feats)[.,k,:]^T @ dY  — contraction over output rows
+    # dW[k] = gathered(feats)[.,k,:]^T @ dY  — contraction over output rows;
+    # the gather reuses the z-window trick when the map allows it
     n_in, cin = feats.shape
     n_out, k = nbr.shape
-    x_ext = jnp.concatenate(
-        [feats.astype(dt), jnp.zeros((1, cin), dt)], axis=0)
-    idx = jnp.where(nbr >= 0, nbr, n_in)
-    g = jnp.take(x_ext, idx, axis=0)                         # [N,K,Cin]
+    kz = _kz_of(k)
+    if z_adjacent and kz >= 3:
+        g = _zwin_gather(feats.astype(dt), nbr, kz)          # [N,K,Cin]
+    else:
+        x_ext = jnp.concatenate(
+            [feats.astype(dt), jnp.zeros((1, cin), dt)], axis=0)
+        idx = jnp.where(nbr >= 0, nbr, n_in)
+        g = jnp.take(x_ext, idx, axis=0)                     # [N,K,Cin]
     dw = jax.lax.dot_general(
         g, dyc,
         dimension_numbers=(((0,), (0,)), ((), ())),          # [K,Cin,Cout]

@@ -238,6 +238,53 @@ def test_build_pyramid_structure(rng):
     assert (up0[:n] >= 0).any(axis=1).all()
 
 
+def test_z_window_conv_matches_flat(rng):
+    """The z-window gather path (z_adjacent=True) must match the flat
+    gather exactly — forward and gradients — on real stride-1/down k3 maps
+    and the conv1 k5 map, where the scan-order adjacency invariant holds."""
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+    from imfnet_tpu.sparse.ops import sparse_conv
+
+    from test_models import make_cloud
+
+    coords = np.concatenate([make_cloud(rng, 150, 0, span=8),
+                             make_cloud(rng, 100, 1, span=8)])
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 384)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=5,
+                        level_capacity=(384, 256, 128, 64))
+    lv = pyr.levels
+
+    cases = [
+        ("same-k3", lv[0].k3_same, lv[0].k3_same, 384, 27),
+        ("down-k3", lv[1].down, lv[0].up, 384, 27),
+        ("same-k5", pyr.k5_l0, pyr.k5_l0, 384, 125),
+    ]
+    for name, nbr, inv, n_in, k in cases:
+        n_out = nbr.shape[0]
+        cin, cout = 6, 10
+        x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32))
+        cot = jnp.asarray(rng.randn(n_out, cout).astype(np.float32))
+
+        out_flat = sparse_conv(x, nbr, w, compute_dtype=jnp.float32)
+        out_z = sparse_conv(x, nbr, w, compute_dtype=jnp.float32,
+                            z_adjacent=True)
+        np.testing.assert_allclose(np.asarray(out_z), np.asarray(out_flat),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+        def loss(x, w, z):
+            return jnp.sum(sparse_conv(x, nbr, w, compute_dtype=jnp.float32,
+                                       nbr_inv=inv, z_adjacent=z) * cot)
+
+        gx_r, gw_r = jax.grad(lambda a, b: loss(a, b, False), (0, 1))(x, w)
+        gx_z, gw_z = jax.grad(lambda a, b: loss(a, b, True), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_z), np.asarray(gx_r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(gw_z), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 def test_transpose_backward_matches_autodiff(rng):
     """The scatter-free conv backward (gather-GEMM through the pyramid's
     inverse map) must reproduce autodiff gradients exactly for stride-1,
