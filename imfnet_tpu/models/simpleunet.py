@@ -66,14 +66,15 @@ class SimpleUNetBase(nn.Module):
         skips = []
         out = SparseConv(self.in_channels, ch[0], self.conv1_kernel_size ** 3,
                          compute_dtype=dt, name="conv1")(
-            sv.feats, pyramid.k5_l0, nbr_inv=pyramid.k5_l0)
+            sv.feats, pyramid.k5_l0, nbr_inv=pyramid.k5_l0, z_adjacent=True)
         out = norm(out, 0, ch[0], "norm1")
         skips.append(out)
         out = nn.relu(out)
         for i in range(1, depth):
             out = SparseConv(ch[i - 1], ch[i], 27, compute_dtype=dt,
                              name=f"conv{i + 1}")(out, lv[i].down,
-                                                  nbr_inv=lv[i - 1].up)
+                                                  nbr_inv=lv[i - 1].up,
+                                                  z_adjacent=True)
             out = norm(out, i, ch[i], f"norm{i + 1}")
             skips.append(out)
             out = nn.relu(out)
@@ -91,7 +92,8 @@ class SimpleUNetBase(nn.Module):
         if self.has_final:
             out = SparseConv(ch[0] + tr[1], tr[0], 27, compute_dtype=dt,
                              name="conv1_tr")(out, lv[0].k3_same,
-                                              nbr_inv=lv[0].k3_same)
+                                              nbr_inv=lv[0].k3_same,
+                                              z_adjacent=True)
             out = norm(out, 0, tr[0], "norm1_tr")
             out = nn.relu(out)
             out = SparseConv(tr[0], self.out_channels, use_bias=True,
@@ -99,7 +101,7 @@ class SimpleUNetBase(nn.Module):
         else:
             out = SparseConv(ch[0] + tr[1], self.out_channels, 27,
                              compute_dtype=dt, name="conv1_tr")(
-                out, lv[0].k3_same, nbr_inv=lv[0].k3_same)
+                out, lv[0].k3_same, nbr_inv=lv[0].k3_same, z_adjacent=True)
 
         if self.normalize_feature:
             nrm = jnp.linalg.norm(out, axis=1, keepdims=True)
