@@ -66,7 +66,6 @@ def main():
         sample_keypoints_segment,
     )
     from imfnet_tpu.models import load_model
-    from imfnet_tpu.sparse.coords import SparseVoxels
     from imfnet_tpu.train.step import level_capacities, make_pyramid_fn
     from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 

@@ -124,7 +124,6 @@ def cmd_eval_kitti(args):
 
 
 def cmd_dam(args):
-    import jax
     import jax.numpy as jnp
 
     from imfnet_tpu.dam.dam import descriptor_activation_map, save_dam_ply

@@ -15,7 +15,6 @@ import optax
 
 from imfnet_tpu.config import threedmatch_config
 from imfnet_tpu.data.synthetic import synthetic_pair
-from imfnet_tpu.models import load_model
 from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 from imfnet_tpu.train.step import (
     PairBatch, forward_pair, make_train_step)
@@ -78,7 +77,6 @@ def main():
     )
 
     model = build_model_from_config(config)
-    pyr_probe = None
     tx = optax.sgd(0.1, momentum=config.momentum, nesterov=False)
     step = make_train_step(model, tx, config)
 
