@@ -101,9 +101,6 @@ def cmd_eval_3dmatch(args):
         _, _, config = _load_model_and_vars(args.checkpoint)
     else:
         config = _base_config(args)
-    if args.benchmark == "3DLoMatch":
-        # same protocol, different gt pair lists (low overlap)
-        pass
     summary = evaluate(
         config, args.desc_root, args.out_root, args.benchmark_dir,
         desc_type=args.desc_type,

@@ -31,6 +31,10 @@ class VoxelizedPair:
     image0: np.ndarray   # float32[H,W,3]
     image1: np.ndarray
     T_gt: np.ndarray     # float32[4,4] (xyz1 ≈ T_gt @ xyz0)
+    # positive-search radius for this sample, scaled by the sample's random
+    # scale like the reference's matching_search_voxel_size
+    # (`lib/data_loaders.py:273-276`); 0 → config default
+    search_radius: float = 0.0
 
 
 def voxelize_np(xyz: np.ndarray, voxel_size: float):
@@ -64,10 +68,28 @@ def _pack_side(coords_list, xyz_list, feats_list, n_pad: int):
     return cp, xp, fp, n
 
 
-def collate_pairs(samples: List[VoxelizedPair], n_pad: int) -> PairBatch:
+def collate_pairs(samples: List[VoxelizedPair], n_pad: int,
+                  grid_extent=None) -> PairBatch:
     """Concatenate a list of voxelized pairs into one padded device batch.
     Positive correspondences are computed on-device (train.step
-    .compute_correspondences), so none are carried here."""
+    .compute_correspondences), so none are carried here.
+
+    ``grid_extent``: when the training step uses the static dense-grid
+    pyramid (config.use_grid_maps), a sample whose voxel span exceeds the
+    extent would be silently cropped by quantize_grid — fail loudly here
+    instead (the eval extractor falls back to the exact pyramid; the jitted
+    train step cannot switch per batch)."""
+    if grid_extent is not None:
+        ext = np.asarray(grid_extent)
+        for s in samples:
+            for side, c in (("0", s.coords0), ("1", s.coords1)):
+                span = c.max(0) - c.min(0) + 1
+                if (span > ext).any():
+                    raise RuntimeError(
+                        f"sample side {side} spans {tuple(span)} voxels > "
+                        f"grid_extent {tuple(ext)}; points would be dropped."
+                        f" Raise config.grid_extent or set use_grid_maps="
+                        f"False for this dataset")
     c0, x0, f0, n0 = _pack_side(
         [s.coords0 for s in samples], [s.xyz0 for s in samples],
         [s.feats0 for s in samples], n_pad)
@@ -85,4 +107,6 @@ def collate_pairs(samples: List[VoxelizedPair], n_pad: int) -> PairBatch:
         pairs=None, pair_valid=None,
         xyz0=jnp.asarray(x0), xyz1=jnp.asarray(x1),
         T_gt=jnp.asarray(T),
+        search_radius=jnp.asarray(
+            np.array([s.search_radius for s in samples], np.float32)),
     )

@@ -33,6 +33,7 @@ from imfnet_tpu.geom.image import load_image, process_image
 from imfnet_tpu.geom.ply import read_ply
 from imfnet_tpu.geom.trajectory import read_trajectory
 from imfnet_tpu.geom.transforms import Jitter, apply_transform_np, sample_random_trans
+from imfnet_tpu.utils.native import count_pairs_within_radius
 
 _kitti_pose_cache = {}
 _kitti_icp_cache = {}
@@ -80,7 +81,8 @@ class PairDataset:
         return len(self.files)
 
     # -- shared augmentation + voxelize tail of __getitem__ -----------------
-    def _finalize(self, xyz0, xyz1, trans, image0, image1) -> VoxelizedPair:
+    def _finalize(self, xyz0, xyz1, trans, image0, image1,
+                  search_radius=0.0) -> VoxelizedPair:
         c0, sel0 = voxelize_np(xyz0, self.voxel_size)
         c1, sel1 = voxelize_np(xyz1, self.voxel_size)
         f0 = np.ones((len(c0), 1), np.float32)
@@ -95,13 +97,18 @@ class PairDataset:
             feats1=f1.astype(np.float32),
             image0=image0, image1=image1,
             T_gt=trans.astype(np.float32),
+            search_radius=float(search_radius),
         )
 
     def _augment(self, xyz0, xyz1, base_trans=None):
         """Random scale + rotation (`lib/data_loaders.py:273-288,556-572`).
-        Returns (xyz0', xyz1', trans) with xyz1' ≈ trans @ xyz0'."""
+        Returns (xyz0', xyz1', trans, search_radius) with
+        xyz1' ≈ trans @ xyz0'; search_radius is matching_search_voxel_size
+        scaled by the sampled scale (`lib/data_loaders.py:273-276`)."""
+        search_radius = self.matching_search_voxel_size
         if self.random_scale and self.randg.rand() < 0.95:
             scale = self.min_scale + (self.max_scale - self.min_scale) * self.randg.rand()
+            search_radius *= scale
             xyz0 = scale * xyz0
             xyz1 = scale * xyz1
         if self.random_rotation:
@@ -113,7 +120,7 @@ class PairDataset:
             xyz1 = apply_transform_np(xyz1, T1)
         else:
             trans = base_trans if base_trans is not None else np.eye(4)
-        return xyz0, xyz1, trans
+        return xyz0, xyz1, trans, search_radius
 
     def _load_image_for(self, ply_or_bin_path: str) -> np.ndarray:
         for suffix in ("_0.png", "_0.jpg", ".png"):
@@ -156,11 +163,8 @@ class IndoorPairDataset(PairDataset):
         xyz1 = read_ply(file1)["points"]
         image0 = self._load_image_for(file0)
         image1 = self._load_image_for(file1)
-        # NOTE: the reference scales the matching radius with the random scale
-        # (`lib/data_loaders.py:273-276`); on-device search uses
-        # config.voxel_size * multiplier which matches the unscaled case.
-        xyz0, xyz1, trans = self._augment(xyz0, xyz1)
-        return self._finalize(xyz0, xyz1, trans, image0, image1)
+        xyz0, xyz1, trans, radius = self._augment(xyz0, xyz1)
+        return self._finalize(xyz0, xyz1, trans, image0, image1, radius)
 
 
 class ThreeDMatchPairDataset(IndoorPairDataset):
@@ -331,11 +335,21 @@ class KITTIPairDataset(PairDataset):
             xyz1 = apply_transform_np(xyz1, T1)
         else:
             trans = M2
+        radius = self.matching_search_voxel_size
         if self.random_scale and self.randg.rand() < 0.95:
             scale = self.min_scale + (self.max_scale - self.min_scale) * self.randg.rand()
+            radius *= scale  # `lib/data_loaders.py:566-570`
             xyz0 = scale * xyz0
             xyz1 = scale * xyz1
-        return self._finalize(xyz0, xyz1, trans, image0, image1)
+        sample = self._finalize(xyz0, xyz1, trans, image0, image1, radius)
+        # pair rejection: the reference raises when the voxelized pair has
+        # fewer than 1000 GT correspondences (`lib/data_loaders.py:586-588`);
+        # KITTI eval counts these skips (`scripts/evaluation_kitti.py:66-70`)
+        n_matches = count_pairs_within_radius(
+            apply_transform_np(sample.xyz0, trans), sample.xyz1, radius)
+        if n_matches < 1000:
+            raise ValueError(f"{drive}, {t0}, {t1}")
+        return sample
 
 
 class KITTINMPairDataset(KITTIPairDataset):
@@ -405,7 +419,8 @@ class PairLoader:
     (`make_data_loader` contract, `lib/data_loaders.py:730-772`)."""
 
     def __init__(self, dataset, batch_size: int, n_pad: int, shuffle=True,
-                 seed=0, prefetch: int = 2, drop_last=True):
+                 seed=0, prefetch: int = 2, drop_last=True,
+                 grid_extent=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_pad = n_pad
@@ -413,6 +428,11 @@ class PairLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.grid_extent = grid_extent  # loud guard, see collate_pairs
+        # samples dropped by ValueError (e.g. KITTI <1000-GT-match rejection,
+        # `lib/data_loaders.py:588`); reset each __iter__, consumed by
+        # eval.kitti the way `scripts/evaluation_kitti.py:66-70` counts skips
+        self.skip_count = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -425,6 +445,7 @@ class PairLoader:
         return idx
 
     def __iter__(self):
+        self.skip_count = 0
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -439,12 +460,19 @@ class PairLoader:
                     for i in sel:
                         try:
                             samples.append(self.dataset[int(i)])
-                        except ValueError:
+                        except ValueError as e:
                             # skippable pair (e.g. KITTI <1000 matches,
                             # `scripts/evaluation_kitti.py:66-70`)
+                            self.skip_count += 1
+                            logging.warning(
+                                "skipping pair %d (%s); %d skipped so far",
+                                int(i), e, self.skip_count)
                             continue
                     if samples:
-                        q.put(collate_pairs(samples, self.n_pad))
+                        q.put(collate_pairs(samples, self.n_pad,
+                                            grid_extent=self.grid_extent))
+            except BaseException as e:  # surface in the consumer thread —
+                q.put(e)                # a silent stop would truncate epochs
             finally:
                 q.put(stop)
 
@@ -454,6 +482,8 @@ class PairLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -477,7 +507,9 @@ def make_data_loader(config: Config, phase: str, batch_size: int,
         transform=transform,
     )
     return PairLoader(dset, batch_size, config.max_points, shuffle=shuffle,
-                      seed=config.seed)
+                      seed=config.seed,
+                      grid_extent=(tuple(config.grid_extent)
+                                   if config.use_grid_maps else None))
 
 
 def _compose_jitter():

@@ -116,7 +116,10 @@ def compare_methods(
                 for m, r in zip(methods, rows):
                     totals[m][0] += r["rr"]
                     totals[m][1] += 1
-                if rows[0]["rr"] == 1 and all(r["rr"] == 0 for r in rows[1:]):
+                # "ours succeeded, every baseline failed" — meaningless with
+                # no baseline (the all() is vacuously true for one method)
+                if len(methods) > 1 and rows[0]["rr"] == 1 \
+                        and all(r["rr"] == 0 for r in rows[1:]):
                     select.append((scene, rows[0]["frag1"], rows[0]["frag2"],
                                    rows[0].get("transformation")))
 

@@ -24,11 +24,18 @@ from imfnet_tpu.utils.timer import AverageMeter, Timer
 def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
     """loader yields PairBatch with batch_size 1 (random_rotation off)."""
     register = make_pair_registration(
-        num_keypoints=config.num_rand_keypoints,
+        # the reference KITTI evaluator feeds the FULL voxelized clouds to
+        # RANSAC (`evaluation_kitti.py:77-99`, no keypoint subsample);
+        # num_keypoints = pad capacity makes the stratified sampler the
+        # identity over every valid row
+        num_keypoints=config.max_points,
         voxel_size=config.voxel_size,
         ransac_n=config.ransac_n,
         num_hypotheses=config.ransac_max_iteration,
         inlier_thresh=config.inlier_thresh,
+        # KITTI RANSAC distance = voxel_size * 1.0 (evaluation_kitti.py:99),
+        # unlike 3DMatch's * 1.5 (benchmark_util.py:17)
+        distance_multiplier=1.0,
     )
 
     @jax.jit
@@ -44,7 +51,11 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
     rte_meter, rre_meter = AverageMeter(), AverageMeter()
     success_meter = AverageMeter()
     feat_timer, reg_timer = Timer(), Timer()
-    fail_count = 0
+
+    def fail_count():
+        # pairs the dataset rejected (<1000 GT matches) — PairLoader counts
+        # them as it skips, mirroring `scripts/evaluation_kitti.py:66-70`
+        return getattr(loader, "skip_count", 0)
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     for i, batch in enumerate(loader):
@@ -75,7 +86,7 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
                 "pair %d: RTE %.3f, RRE %.3f, Success %.4f (%d skipped), "
                 "feat t %.3f, reg t %.3f",
                 i, rte_meter.avg, rre_meter.avg, success_meter.avg,
-                fail_count, feat_timer.avg, reg_timer.avg,
+                fail_count(), feat_timer.avg, reg_timer.avg,
             )
 
     result = {
@@ -83,7 +94,7 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
         "rre": rre_meter.avg,
         "success_rate": success_meter.avg,
         "num_pairs": success_meter.count,
-        "failed_loads": fail_count,
+        "failed_loads": fail_count(),
     }
     logging.info("KITTI eval: %s", result)
     return result

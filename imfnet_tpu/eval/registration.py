@@ -46,11 +46,16 @@ def sample_keypoints(key, valid: jax.Array, k: int):
 def make_keypoint_registration(*, voxel_size: float = 0.025,
                                ransac_n: int = 3, num_hypotheses: int = 50000,
                                inlier_thresh: float = 0.1,
-                               hypo_block: int = 12500):
+                               hypo_block: int = 12500,
+                               distance_multiplier: float = 1.5):
     """register_kp(key, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov) on
     pre-sampled keypoints — the core of the per-pair evaluation, reusable
-    when keypoints come from a batched (multi-fragment) extraction."""
-    distance_threshold = voxel_size * 1.5
+    when keypoints come from a batched (multi-fragment) extraction.
+
+    RANSAC correspondence distance = voxel_size * distance_multiplier:
+    1.5 for 3DMatch (`scripts/benchmark_util.py:17`), 1.0 for KITTI
+    (`scripts/evaluation_kitti.py:99`)."""
+    distance_threshold = voxel_size * distance_multiplier
 
     def register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, covariance):
         # candidate correspondences: source keypoint → NN target keypoint in
@@ -102,13 +107,14 @@ def make_keypoint_registration(*, voxel_size: float = 0.025,
 
 def make_pair_registration(*, num_keypoints: int = 5000, voxel_size: float = 0.025,
                            ransac_n: int = 3, num_hypotheses: int = 50000,
-                           inlier_thresh: float = 0.1, hypo_block: int = 12500):
+                           inlier_thresh: float = 0.1, hypo_block: int = 12500,
+                           distance_multiplier: float = 1.5):
     """Returns jitted register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, cov) →
     metrics dict {rr, rre, rte, ir, inlier_ratio_mutual, num_inliers, fitness}."""
     register_kp = make_keypoint_registration(
         voxel_size=voxel_size, ransac_n=ransac_n,
         num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh,
-        hypo_block=hypo_block)
+        hypo_block=hypo_block, distance_multiplier=distance_multiplier)
 
     @jax.jit
     def register(key, xyz0, f0, n0, xyz1, f1, n1, T_gt, covariance):

@@ -66,7 +66,6 @@ def generate_descriptors(
     scenes: Optional[List[str]] = None,
     seq_name: str = "seq-01",
     n_raw_pad: int = 1 << 18,
-    n_pad: int = 1 << 15,  # kept for API compat; bucketing supersedes it
 ) -> Dict[str, float]:
     """Walk test scenes; per fragment: PLY+image → extract → save
     `.npz{points, xyz, feature}` (`scripts/generate_desc.py:83-123`).
@@ -122,9 +121,13 @@ def generate_descriptors(
     lookahead = 4  # bounded: each prefetched fragment holds ~6 MB host RAM
     with ThreadPoolExecutor(max_workers=2) as readers, \
             ThreadPoolExecutor(max_workers=2) as writers:
-        pending_saves = []
         from collections import deque
 
+        # writer backlog is bounded too: each queued save pins the fragment's
+        # raw points + descriptors in host RAM, so if zlib compression runs
+        # slower than device extraction an unbounded list would grow with the
+        # scene count
+        pending_saves = deque()
         queue = deque(
             readers.submit(load_one, it) for it in work[:lookahead])
         next_i = len(queue)
@@ -139,11 +142,13 @@ def generate_descriptors(
             dt = time.perf_counter() - t0
             total_t += dt
             count += 1
+            while len(pending_saves) >= lookahead:
+                pending_saves.popleft().result()
             pending_saves.append(
                 writers.submit(save_one, out_path, points,
                                np.asarray(xyz_down), np.asarray(feats)))
-        for s in pending_saves:
-            s.result()
+        while pending_saves:
+            pending_saves.popleft().result()
     stats = {"all_time": total_t, "avg_time": total_t / max(count, 1), "count": count}
     logging.info("All Time: %.3f, AVG: %.4f (%d fragments)",
                  stats["all_time"], stats["avg_time"], stats["count"])

@@ -407,6 +407,11 @@ def quantize_grid(
 
     X, Y, Z = spec.extent
     B = spec.num_batches
+    # the (b, x, y) sort key below must fit one int32
+    assert B * X * Y < 2**31, (
+        f"GridSpec extent {spec.extent} x {B} batches overflows the int32 "
+        f"sort key (B*X*Y = {B * X * Y} >= 2^31); shrink grid_extent or batch"
+    )
     n = xyz.shape[0]
     v = jnp.floor(xyz / voxel_size).astype(jnp.int32)
     b = jnp.broadcast_to(jnp.asarray(batch_index, jnp.int32), (n,))
@@ -417,11 +422,12 @@ def quantize_grid(
     c = coords4[:, 1:] - jnp.take(origins, jnp.maximum(bb, 0), axis=0)
     in_range = (
         valid
+        & (coords4[:, 0] >= 0) & (coords4[:, 0] < B)
         & (c >= 0).all(axis=1)
         & (c[:, 0] < X) & (c[:, 1] < Y) & (c[:, 2] < Z)
     )
     big = jnp.int32(0x7FFFFFFF)
-    # lexicographic (b, x, y) in one int32 key (fits: B*X*Y ≤ 2*704² < 2^31);
+    # lexicographic (b, x, y) in one int32 key (asserted above to fit);
     # z is the second sort key, so the sorted order IS scan (key) order —
     # per-batch origins are constant shifts and preserve it
     hi = jnp.where(in_range, (bb * X + c[:, 0]) * Y + c[:, 1], big)

@@ -52,9 +52,15 @@ def _mul_first_apply(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
     Cout < Cin gathering Cout-wide product rows instead of Cin-wide input
     rows cuts gather bytes by Cin/Cout — the decoder's 256→64 convs gather
     4x less. The extra FLOPs (N_in·K·Cin·Cout vs N_out·K·Cin·Cout) are
-    MXU-cheap, and up-convs have N_in < N_out anyway. f32 accumulation
-    happens in the GEMM; the K-way sum adds f32 partials, matching
-    _flat_apply's contraction exactly up to addition order."""
+    MXU-cheap, and up-convs have N_in < N_out anyway.
+
+    Numerics: each per-offset GEMM accumulates in f32 but its output is
+    stored back at the compute dtype before the K-way f32 sum. With f32
+    compute this matches _flat_apply exactly up to addition order; with bf16
+    compute each partial is rounded once more than _flat_apply's single
+    K·Cin-deep contraction — a bounded extra error of K rounding steps
+    (tested at bf16 tolerance in test_sparse_core.py
+    ::test_mul_first_matches_flat_bf16)."""
     n_in, cin = x.shape
     n_out, k = nbr.shape
     cout = w.shape[2]

@@ -44,6 +44,10 @@ class PairBatch(NamedTuple):
     xyz0: jax.Array       # [N,3] continuous positions of voxel representatives
     xyz1: jax.Array
     T_gt: jax.Array       # [B,4,4]
+    # per-pair positive-search radius; 0 → fall back to the config default.
+    # Carries the reference's scale-dependent matching radius
+    # (`lib/data_loaders.py:273-276`: matching_search_voxel_size *= scale).
+    search_radius: jax.Array = None  # float32[B]
 
 
 def level_capacities(
@@ -62,11 +66,17 @@ LOSS_FNS = {
 }
 
 
-def make_pyramid_fn(config: Config, n_pad: int, num_batches: int):
+def make_pyramid_fn(config: Config, n_pad: int, num_batches: int,
+                    use_grid: bool | None = None):
     """Coordinate-pyramid builder per config: dense-grid index (fast path,
-    imfnet_tpu.sparse.grid) or exact binary search fallback."""
+    imfnet_tpu.sparse.grid) or exact binary search fallback. ``use_grid``
+    overrides config.use_grid_maps (the extractor routes fragments whose
+    span exceeds the static grid extent to the exact path — see
+    sparse.grid.fits_grid)."""
     caps = level_capacities(n_pad, tuple(config.level_capacity_divisors))
-    if config.use_grid_maps:
+    if use_grid is None:
+        use_grid = config.use_grid_maps
+    if use_grid:
         from imfnet_tpu.sparse.grid import GridSpec, build_pyramid_grid
 
         spec = GridSpec(extent=tuple(config.grid_extent), num_batches=num_batches)
@@ -123,6 +133,10 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     For every valid voxel of side 0: its nearest side-1 voxel of the same pair
     within ``search_radius`` after the gt transform. Pairs are kept apart in
     one blocked NN pass by a large per-pair coordinate offset.
+
+    ``search_radius`` may be a scalar or a per-pair [B] array (the reference
+    scales the radius by each sample's random scale,
+    `lib/data_loaders.py:273-276`).
     """
     n0 = batch.coords0.shape[0]
     n1 = batch.coords1.shape[0]
@@ -138,7 +152,9 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     from imfnet_tpu.match.nn import nn_auto
 
     idx, d2 = nn_auto(x0, x1, v1, block=4096)
-    ok = v0 & (d2 <= search_radius * search_radius)
+    r = jnp.asarray(search_radius, jnp.float32)
+    r0 = r if r.ndim == 0 else jnp.take(r, jnp.minimum(b0, r.shape[0] - 1))
+    ok = v0 & (d2 <= r0 * r0)
     pairs = jnp.stack([jnp.arange(n0, dtype=jnp.int32), idx.astype(jnp.int32)], axis=1)
     return pairs, ok
 
@@ -155,8 +171,12 @@ def make_loss_fn(model, config: Config):
         valid1 = jnp.arange(f1.shape[0]) < batch.n1
         if batch.pairs is None:
             # on-device positive search (matching_search_voxel_size =
-            # voxel * multiplier, `lib/data_loaders.py:122`)
+            # voxel * multiplier, `lib/data_loaders.py:122`); per-pair radii
+            # from the batch carry the random-scale factor, 0 → default
             radius = config.voxel_size * config.positive_pair_search_voxel_size_multiplier
+            if batch.search_radius is not None:
+                radius = jnp.where(batch.search_radius > 0,
+                                   batch.search_radius, radius)
             pairs, pair_valid = compute_correspondences(batch, radius)
         else:
             pairs, pair_valid = batch.pairs, batch.pair_valid

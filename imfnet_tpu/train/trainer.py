@@ -159,6 +159,11 @@ class Trainer:
         # iter_size gradient accumulation: n_iter optimizer steps consume
         # n_iter*iter_size loader batches (`lib/trainer.py:252-307` semantics)
         n_iter = len(self.data_loader) // max(config.iter_size, 1)
+        if n_iter == 0:
+            raise ValueError(
+                f"loader yields {len(self.data_loader)} batches per epoch but "
+                f"iter_size={config.iter_size}; no optimizer step would run — "
+                f"lower iter_size or grow the dataset/batch split")
         for curr_iter in range(n_iter):
             total_timer.tic()
             data_timer.tic()
@@ -169,6 +174,9 @@ class Trainer:
                 grads = jax.tree_util.tree_map(
                     jnp.zeros_like, self.state.params)
                 stats = self.state.batch_stats
+                # metrics stay device arrays per micro-step (a float() here
+                # would sync and serialize the accumulation pipeline); one
+                # conversion per group below
                 group = {}
                 for micro in range(config.iter_size):
                     if micro > 0:
@@ -179,9 +187,10 @@ class Trainer:
                     grads, metrics, stats = self.grad_step(
                         self.state.params, stats, batch, sub, grads)
                     for k, v in metrics.items():
-                        group[k] = group.get(k, 0.0) + float(v) / config.iter_size
+                        group[k] = group.get(k, 0.0) + v
                 self.state = self.apply_step(self.state, grads, stats)
-                metrics = group
+                metrics = {k: float(v) / config.iter_size
+                           for k, v in group.items()}
             else:
                 self.state, metrics = self.train_step(self.state, batch, sub)
             loss = float(metrics["loss"])

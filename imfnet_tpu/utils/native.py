@@ -26,11 +26,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always invoke make: a no-op when the .so is current, a rebuild when
+    # host_ops.cpp is newer (a stale .so would miss newly added symbols)
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -44,6 +46,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.count_within_radius.restype = ctypes.c_int64
     lib.count_within_radius.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+    ]
+    lib.count_pairs_within_radius.restype = ctypes.c_int64
+    lib.count_pairs_within_radius.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
     ]
@@ -97,3 +104,26 @@ def count_within_radius(src: np.ndarray, dst: np.ndarray, radius: float) -> int:
     tree = cKDTree(dst)
     dd, _ = tree.query(src, k=1)
     return int((dd <= radius).sum())
+
+
+def count_pairs_within_radius(src: np.ndarray, dst: np.ndarray,
+                              radius: float) -> int:
+    """Total (i, j) pairs with |src_i - dst_j| <= radius — the statistic
+    `len(get_matching_indices(...))` measures (`util/pointcloud.py:56-69`),
+    used by the KITTI <1000-GT-match pair rejection
+    (`lib/data_loaders.py:586-588`)."""
+    if len(src) == 0 or len(dst) == 0:
+        return 0
+    lib = _load()
+    if lib is not None:
+        s = np.ascontiguousarray(src, np.float32)
+        d = np.ascontiguousarray(dst, np.float32)
+        return int(lib.count_pairs_within_radius(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(s),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(d),
+            ctypes.c_float(radius),
+        ))
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(dst)
+    return int(np.sum(tree.query_ball_point(src, radius, return_length=True)))

@@ -1,69 +1,126 @@
-"""Wall-clock meters behind the reference API (`lib/timer.py:5-72`), plus a
-jax.profiler hook for device traces (aux subsystem, SURVEY.md §5)."""
+"""Streaming meters + wall-clock stopwatches, and a jax.profiler hook.
+
+Covers the reference's timing surface (`lib/timer.py`: per-phase averages in
+train/eval loops, a min-of-runs timer for benchmarks) with one streaming
+statistics class — count/mean/variance/min/max in a single `add` — and a
+stopwatch wrapping it. Device-side tracing (absent in the reference) comes
+from `device_trace`.
+"""
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 
 
-class AverageMeter:
+class Meter:
+    """Streaming scalar statistics (Welford): mean/var/min/max/total/last."""
+
+    __slots__ = ("count", "mean", "_m2", "min", "max", "last")
+
     def __init__(self):
         self.reset()
 
     def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.sq_sum = 0.0
         self.count = 0
+        self.mean = 0.0
+        self._m2 = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+        self.last = 0.0
 
-    def update(self, val, n=1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count
-        self.sq_sum += val**2 * n
-        self.var = self.sq_sum / self.count - self.avg**2
-
-
-class Timer:
-    def __init__(self, binary_fn=None, init_val=0.0):
-        self.total_time = init_val
-        self.calls = 0
-        self.start_time = 0.0
-        self.diff = 0.0
-        self.binary_fn = binary_fn
-        self.tmp = init_val
+    def add(self, value: float, weight: int = 1):
+        value = float(value)
+        self.last = value
+        for _ in range(weight):
+            self.count += 1
+            delta = value - self.mean
+            self.mean += delta / self.count
+            self._m2 += delta * (value - self.mean)
+        self.min = min(self.min, value)
+        self.max = max(self.max, value)
+        return value
 
     @property
-    def avg(self):
-        return self.total_time / max(self.calls, 1)
+    def total(self) -> float:
+        return self.mean * self.count
 
-    def reset(self):
-        self.total_time = 0.0
-        self.calls = 0
-        self.start_time = 0.0
-        self.diff = 0.0
+    @property
+    def var(self) -> float:
+        return self._m2 / self.count if self.count else 0.0
+
+    @property
+    def std(self) -> float:
+        return math.sqrt(self.var)
+
+    def __repr__(self):
+        return (f"Meter(n={self.count}, mean={self.mean:.6g}, "
+                f"std={self.std:.3g}, min={self.min:.6g}, max={self.max:.6g})")
+
+
+class Stopwatch(Meter):
+    """A Meter fed by wall-clock laps. Use tic()/toc() or as a context
+    manager; every lap lands in the inherited statistics."""
+
+    __slots__ = ("_t0",)
+
+    def __init__(self):
+        super().__init__()
+        self._t0 = None
 
     def tic(self):
-        self.start_time = time.perf_counter()
+        self._t0 = time.perf_counter()
 
-    def toc(self, average=True):
-        self.diff = time.perf_counter() - self.start_time
-        self.total_time += self.diff
-        self.calls += 1
-        if self.binary_fn:
-            self.tmp = self.binary_fn(self.tmp, self.diff)
-        return self.avg if average else self.diff
+    def toc(self, average: bool = True) -> float:
+        lap = time.perf_counter() - self._t0
+        self.add(lap)
+        return self.mean if average else lap
+
+    def __enter__(self):
+        self.tic()
+        return self
+
+    def __exit__(self, *exc):
+        self.toc()
+        return False
+
+
+# -- reference-API spellings (`lib/timer.py` call sites use these names) ----
+
+class Timer(Stopwatch):
+    """Stopwatch under the reference's name; `.avg`/`.diff` spellings."""
+
+    @property
+    def avg(self) -> float:
+        return self.mean
+
+    @property
+    def diff(self) -> float:
+        return self.last
+
+    @property
+    def total_time(self) -> float:
+        return self.total
+
+
+class AverageMeter(Meter):
+    """Meter under the reference's name; `.update`/`.avg`/`.val` spellings."""
+
+    def update(self, val: float, n: int = 1):
+        self.add(val, weight=n)
+
+    @property
+    def avg(self) -> float:
+        return self.mean
+
+    @property
+    def val(self) -> float:
+        return self.last
 
 
 class MinTimer(Timer):
-    def __init__(self):
-        super().__init__(binary_fn=min, init_val=float("inf"))
-
-    @property
-    def min(self):
-        return self.tmp
+    """Stopwatch whose headline number is the fastest lap (benchmarks)."""
+    # `.min` is inherited from Meter
 
 
 @contextlib.contextmanager

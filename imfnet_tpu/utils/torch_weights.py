@@ -110,14 +110,53 @@ def migrate_checkpoint_keys(params: Dict, rename: Dict[str, str]) -> Dict:
 # Full IMFNet checkpoint conversion (released .pth → flax variables)
 # ---------------------------------------------------------------------------
 
+def me_kernel_region_offsets(kernel_size: int, dimension: int = 3) -> np.ndarray:
+    """int64[K, dimension] kernel offsets in MinkowskiEngine 0.5.4's
+    enumeration order — an executable port of the `kernel_region` HYPER_CUBE
+    iterator (ME `src/kernel_region.hpp`).
+
+    ME's region iterator is an odometer over the spatial axes of the
+    coordinate (layout [batch, x, y, ...]): it starts every axis at the
+    region's lower bound and on each step increments the FIRST spatial axis,
+    carrying into the next axis on overflow — so x varies fastest, the last
+    axis slowest. For an odd kernel size k at dilation 1 the region is the
+    centered cube [-(k//2), k//2]^d (`kernel_region` constructor: lower
+    bound = -(k-1)/2 · dilation · tensor_stride per axis). IMFNet uses only
+    odd sizes (1/3/5, `model/resunet.py:42-158`).
+
+    MinkowskiConvolution consumes these as `out[u] = Σ_k W[k] · in[u + δ_k]`
+    (the region is centered on each *output* coordinate and enumerates the
+    input coordinates it gathers); MinkowskiConvolutionTranspose centers the
+    region on each *input* coordinate and scatters to `in + δ_k`, i.e.
+    `out[u] = Σ_k W[k] · in[u − δ_k]`.
+
+    This function is the single source of truth for the converter's kernel
+    permutation; tests/test_me_oracle.py drives one-hot/random kernels
+    through the real engine against a numpy oracle built on it.
+    """
+    r = (kernel_size - 1) // 2
+    cur = [-r] * dimension
+    out = []
+    for _ in range(kernel_size ** dimension):
+        out.append(tuple(cur))
+        for axis in range(dimension):  # first axis fastest (odometer)
+            cur[axis] += 1
+            if cur[axis] <= r:
+                break
+            cur[axis] = -r
+    return np.array(out, np.int64)
+
+
 def me_offset_permutation(kernel_size: int, reverse: bool = False) -> np.ndarray:
     """perm[k_ours] = k_me mapping our kernel-offset enumeration
     (itertools.product: dx slowest, dz fastest — sparse.kernel_map) onto
-    MinkowskiEngine's region order (odometer with x incrementing fastest).
+    MinkowskiEngine's region order (me_kernel_region_offsets).
     ``reverse=True`` additionally maps δ→−δ: our transpose-conv maps index by
     the offset from the *output* (fine) coordinate, ME's
     ConvolutionTranspose kernels by the offset from the input — opposite
-    sign. Verify against real released weights before trusting FMR parity."""
+    sign (see me_kernel_region_offsets docstring)."""
+    me = me_kernel_region_offsets(kernel_size)
+    me_index = {tuple(o): i for i, o in enumerate(me)}
     ks = kernel_size
     r = ks // 2
     perm = np.zeros(ks ** 3, np.int64)
@@ -125,8 +164,8 @@ def me_offset_permutation(kernel_size: int, reverse: bool = False) -> np.ndarray
     for dx in range(-r, r + 1):
         for dy in range(-r, r + 1):
             for dz in range(-r, r + 1):
-                ex, ey, ez = (-dx, -dy, -dz) if reverse else (dx, dy, dz)
-                perm[i] = ((ez + r) * ks + (ey + r)) * ks + (ex + r)
+                d = (-dx, -dy, -dz) if reverse else (dx, dy, dz)
+                perm[i] = me_index[d]
                 i += 1
     return perm
 

@@ -132,4 +132,60 @@ int64_t count_within_radius(
     return count;
 }
 
+// Total number of (i, j) pairs with |src_i - dst_j| <= radius — the
+// statistic the reference's get_matching_indices list length measures
+// (util/pointcloud.py:56-69, consumed by the KITTI <1000-match pair
+// rejection at lib/data_loaders.py:586-588).
+int64_t count_pairs_within_radius(
+    const float* src, int64_t n_src,
+    const float* dst, int64_t n_dst,
+    float radius
+) {
+    uint64_t cap = 1;
+    while (cap < (uint64_t)(2 * n_dst + 1)) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<int64_t> head(cap, -1);
+    std::vector<int64_t> nxt(n_dst, -1);
+    std::vector<int32_t> jcell(n_dst * 3);
+    const float inv = 1.0f / radius;
+    auto cell = [&](const float* p, int32_t* c) {
+        c[0] = (int32_t)std::floor(p[0] * inv);
+        c[1] = (int32_t)std::floor(p[1] * inv);
+        c[2] = (int32_t)std::floor(p[2] * inv);
+    };
+    for (int64_t j = 0; j < n_dst; ++j) {
+        int32_t* c = jcell.data() + j * 3;
+        cell(dst + j * 3, c);
+        uint64_t h = hash_coord(c[0], c[1], c[2]) & mask;
+        nxt[j] = head[h];
+        head[h] = j;
+    }
+    const float r2 = radius * radius;
+    int64_t count = 0;
+    for (int64_t i = 0; i < n_src; ++i) {
+        int32_t c[3];
+        cell(src + i * 3, c);
+        for (int dx = -1; dx <= 1; ++dx)
+            for (int dy = -1; dy <= 1; ++dy)
+                for (int dz = -1; dz <= 1; ++dz) {
+                    const int32_t pc[3] = {c[0] + dx, c[1] + dy, c[2] + dz};
+                    uint64_t h = hash_coord(pc[0], pc[1], pc[2]) & mask;
+                    for (int64_t j = head[h]; j >= 0; j = nxt[j]) {
+                        // bucket chains mix hash-colliding cells; a j whose
+                        // cell differs from the probed one would be visited
+                        // (and counted) again from its own cell's probe
+                        const int32_t* jc = jcell.data() + j * 3;
+                        if (jc[0] != pc[0] || jc[1] != pc[1] || jc[2] != pc[2])
+                            continue;
+                        const float* q = dst + j * 3;
+                        float ddx = src[i * 3] - q[0];
+                        float ddy = src[i * 3 + 1] - q[1];
+                        float ddz = src[i * 3 + 2] - q[2];
+                        if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) ++count;
+                    }
+                }
+    }
+    return count;
+}
+
 }  // extern "C"

@@ -104,3 +104,52 @@ def test_kitti_dataset_and_eval(kitti_root, monkeypatch):
     stats = evaluate_kitti(model, variables, config, loader)
     assert stats["num_pairs"] >= 2
     assert stats["success_rate"] >= 0.5, stats
+    # every fixture pair clears the <1000-GT-match rejection
+    assert stats["failed_loads"] == 0
+    # unscaled phase → per-sample search radius is matching_search_voxel_size
+    assert sample.search_radius == pytest.approx(
+        config.voxel_size * config.positive_pair_search_voxel_size_multiplier)
+
+
+def test_pair_rejection_counted():
+    """<1000-GT-match pairs raise in __getitem__ (`lib/data_loaders.py:588`)
+    and PairLoader counts the skip the way `evaluation_kitti.py:66-70`
+    does."""
+    from imfnet_tpu.config import threedmatch_config as base_config
+    from imfnet_tpu.data.datasets import SyntheticPairDataset
+
+    config = base_config(max_points=4096)
+
+    class Flaky(SyntheticPairDataset):
+        def __getitem__(self, idx):
+            if idx % 2 == 1:
+                raise ValueError(f"pair {idx}: too few matches")
+            return super().__getitem__(idx)
+
+    dset = Flaky("val", config, length=6, n_points=500)
+    loader = PairLoader(dset, 1, config.max_points, shuffle=False,
+                        drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert loader.skip_count == 3
+
+
+def test_scale_scales_search_radius():
+    """The positive-search radius carries the sampled random scale
+    (`lib/data_loaders.py:273-276`: matching_search_voxel_size *= scale)."""
+    from imfnet_tpu.config import threedmatch_config as base_config
+    from imfnet_tpu.data.datasets import PairDataset
+
+    config = base_config(use_random_scale=True)
+    dset = PairDataset("train", config, random_rotation=False,
+                       random_scale=True, manual_seed=True)
+    rng = np.random.RandomState(3)
+    xyz = rng.rand(100, 3).astype(np.float32)
+    radii = set()
+    for _ in range(8):
+        x0, x1, _, radius = dset._augment(xyz.copy(), xyz.copy())
+        scale = float(x0[0, 0] / xyz[0, 0])
+        assert radius == pytest.approx(
+            dset.matching_search_voxel_size * scale, rel=1e-5)
+        radii.add(round(radius, 6))
+    assert len(radii) > 1  # the scale actually varies

@@ -285,6 +285,28 @@ def test_z_window_conv_matches_flat(rng):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_mul_first_matches_flat_bf16(rng):
+    """_mul_first_apply rounds each per-offset GEMM partial to the compute
+    dtype before the K-way f32 sum; under bf16 that adds up to K rounding
+    steps vs _flat_apply's single deep contraction. Bound the deviation at
+    bf16 tolerances (the f32 exact-match case is covered above)."""
+    from imfnet_tpu.sparse.ops import _flat_apply, _mul_first_apply
+
+    n_in, n_out, k = 256, 200, 27
+    cin, cout = 64, 16  # Cout < Cin → the mul-first regime
+    x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) / np.sqrt(cin))
+    nbr = rng.randint(-1, n_in, size=(n_out, k)).astype(np.int32)
+    nbr = jnp.asarray(nbr)
+
+    ref = _flat_apply(x.astype(jnp.bfloat16), nbr, w.astype(jnp.bfloat16))
+    out = _mul_first_apply(x.astype(jnp.bfloat16), nbr, w.astype(jnp.bfloat16))
+    # bf16 has ~3 decimal digits; partial-rounding error grows ~sqrt(K)*ulp
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05 * scale, rtol=0.05)
+
+
 def test_transpose_backward_matches_autodiff(rng):
     """The scatter-free conv backward (gather-GEMM through the pyramid's
     inverse map) must reproduce autodiff gradients exactly for stride-1,
