@@ -74,8 +74,16 @@ def _load_model_and_vars(checkpoint: str):
 
 def cmd_train(args):
     from imfnet_tpu.data.datasets import make_data_loader
+    from imfnet_tpu.parallel.mesh import initialize_distributed
     from imfnet_tpu.train.trainer import Trainer
 
+    # multi-host (DCN) bring-up BEFORE any jax device query — new capability
+    # vs the single-GPU reference (SURVEY.md §2.3)
+    initialize_distributed(
+        coordinator_address=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
     config = _base_config(args)
     train_loader = make_data_loader(config, "train", config.batch_size)
     val_loader = make_data_loader(config, "val", config.val_batch_size)
@@ -104,6 +112,8 @@ def cmd_eval_3dmatch(args):
     summary = evaluate(
         config, args.desc_root, args.out_root, args.benchmark_dir,
         desc_type=args.desc_type,
+        keypoints_root=args.keypoints_root,
+        use_saved_keypoints=args.use_saved_keypoints or None,
     )
     print(json.dumps(summary))
 
@@ -159,7 +169,7 @@ def cmd_compare(args):
     config = _base_config(args)
     summary = compare_methods(
         roots, args.benchmark_dir, args.out_root, config,
-        scenes=args.scenes or None)
+        scenes=args.scenes or None, keypoints_root=args.keypoints_root)
     print(json.dumps({k: v for k, v in summary.items() if k != "views"}))
 
 
@@ -255,6 +265,11 @@ def main(argv=None):
                       ("--resume-dir", str)]:
         pt.add_argument(flag, type=typ, default=None,
                         dest=flag[2:].replace("-", "_"))
+    # multi-host (DCN): one process per host, rendezvous at the coordinator
+    pt.add_argument("--num-processes", type=int, default=None)
+    pt.add_argument("--process-id", type=int, default=None)
+    pt.add_argument("--coordinator", type=str, default=None,
+                    help="host:port of process 0 for jax.distributed")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("visualize")
@@ -281,6 +296,12 @@ def main(argv=None):
     pe.add_argument("--benchmark", choices=["3DMatch", "3DLoMatch"],
                     default="3DMatch")
     pe.add_argument("--desc-type", default="IMFNet")
+    pe.add_argument("--keypoints-root", default=None,
+                    help="folder of per-pair keypoint npz caches (default "
+                         "<out-root>/<desc-type>_keypoints)")
+    pe.add_argument("--use-saved-keypoints", action="store_true",
+                    help="replay cached keypoint indices instead of sampling"
+                         " (reference cfg.keypoints)")
     pe.set_defaults(fn=cmd_eval_3dmatch)
 
     pk = sub.add_parser("eval-kitti")
@@ -296,6 +317,9 @@ def main(argv=None):
     pc.add_argument("--benchmark-dir", required=True)
     pc.add_argument("--out-root", required=True)
     pc.add_argument("--scenes", nargs="*", default=None)
+    pc.add_argument("--keypoints-root", default=None,
+                    help="externally-provided keypoint caches shared by all"
+                         " methods (default: sampled by the primary method)")
     pc.set_defaults(fn=cmd_compare)
 
     pcd = sub.add_parser("convert-desc")

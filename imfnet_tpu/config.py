@@ -78,6 +78,9 @@ class Config:
 
     # --- eval (scripts/evaluation_3dmatch.py:28-32,580; benchmark_util.py:16-34) ---
     num_rand_keypoints: int = 5000
+    # replay persisted per-pair keypoint indices instead of sampling
+    # (the reference's cfg.keypoints, `evaluation_3dmatch.py:146-151`)
+    use_saved_keypoints: bool = False
     inlier_thresh: float = 0.1
     fmr_inlier_ratio_threshes: Tuple[float, ...] = (0.05, 0.20)
     ransac_n: int = 3

@@ -71,6 +71,7 @@ def compare_methods(
     seq_name: str = "seq-01",
     save_views: bool = True,
     max_views: int = 20,
+    keypoints_root: Optional[str] = None,
 ) -> Dict:
     """Register every gt pair with each method's descriptors and tabulate
     them side by side. The FIRST entry of ``desc_roots`` is the primary
@@ -90,12 +91,23 @@ def compare_methods(
         scenes = [s for s in TEST_SCENE_NAMES
                   if osp.isdir(osp.join(benchmark_dir, s))]
     methods = list(desc_roots)
+    # all methods replay ONE keypoint set (sampled+persisted by the first
+    # method, or externally provided via ``keypoints_root``) so the
+    # comparison is apples-to-apples — the reference's cached-keypoints
+    # replay (`evaluation_3dmatch.py:140-160`)
+    if keypoints_root is None:
+        keypoints_root = osp.join(out_root, "shared_keypoints")
+        kp_preexisting = osp.isdir(keypoints_root) and os.listdir(keypoints_root)
+    else:
+        kp_preexisting = True
     payloads: Dict[str, List[Dict]] = {m: [] for m in methods}
-    for m in methods:
+    for mi, m in enumerate(methods):
         for scene in scenes:
             payloads[m].append(run_scene_matching(
                 scene, seq_name, m, desc_roots[m],
-                osp.join(out_root, "per_method"), benchmark_dir, config))
+                osp.join(out_root, "per_method"), benchmark_dir, config,
+                keypoints_root=keypoints_root,
+                use_saved_keypoints=bool(kp_preexisting or mi > 0)))
 
     # side-by-side table + select set
     os.makedirs(out_root, exist_ok=True)

@@ -57,19 +57,34 @@ def make_keypoint_registration(*, voxel_size: float = 0.025,
     (`scripts/evaluation_kitti.py:99`)."""
     distance_threshold = voxel_size * distance_multiplier
 
-    def register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, covariance):
+    def register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, covariance,
+                    swap: bool = False):
         # candidate correspondences: source keypoint → NN target keypoint in
-        # descriptor space (o3d feature-matching RANSAC semantics)
+        # descriptor space (o3d feature-matching RANSAC semantics). The
+        # reference runs RANSAC with the SMALLER fragment as source and
+        # inverts (`evaluation_3dmatch.py:182-187`); ``swap=True`` (static)
+        # selects side 1 as source for that ordering trick.
+        # both NN directions are needed anyway (mutual-NN FMR below); the
+        # swap flag picks which one seeds RANSAC
         nn01 = nn_auto(kd0, kd1, ok1, block=4096)[0]
-        corr_dst = jnp.take(kp1, nn01, 0)
-        res = ransac_registration(
-            k2, kp0, corr_dst, ok0, distance_threshold,
-            ransac_n=ransac_n, num_hypotheses=num_hypotheses,
-            hypo_block=hypo_block,
-        )
-        # reference estimates source→target then inverts
-        # (`evaluation_3dmatch.py:182-187`); here T maps 0→1, es_T = inv(T)
-        es_T = jnp.linalg.inv(res.transformation)
+        nn10 = nn_auto(kd1, kd0, ok0, block=4096)[0]
+        if swap:
+            corr_dst0 = jnp.take(kp0, nn10, 0)
+            res = ransac_registration(
+                k2, kp1, corr_dst0, ok1, distance_threshold,
+                ransac_n=ransac_n, num_hypotheses=num_hypotheses,
+                hypo_block=hypo_block,
+            )
+            es_T = res.transformation      # source=1 → maps 1→0 directly
+        else:
+            corr_dst = jnp.take(kp1, nn01, 0)
+            res = ransac_registration(
+                k2, kp0, corr_dst, ok0, distance_threshold,
+                ransac_n=ransac_n, num_hypotheses=num_hypotheses,
+                hypo_block=hypo_block,
+            )
+            # T maps 0→1; gt.log convention wants 1→0: es_T = inv(T)
+            es_T = jnp.linalg.inv(res.transformation)
         err = transform_error(T_gt, covariance, es_T)
         accepted = err < 0.2**2
         rre, rte = registration_error(T_gt, es_T)
@@ -79,8 +94,7 @@ def make_keypoint_registration(*, voxel_size: float = 0.025,
                           positive_radius=inlier_thresh)
 
         # mutual-NN FMR inlier ratio (`evaluation_3dmatch.py:207-236`);
-        # reuse nn01 from the candidate-correspondence pass (one NN saved)
-        nn10 = nn_auto(kd1, kd0, ok0)[0]
+        # both NN passes already computed above
         back = jnp.take(nn01, nn10)
         mutual = (back == jnp.arange(kd1.shape[0], dtype=nn10.dtype)) & ok1
         m0 = jnp.take(kp0, nn10, 0)     # matched kpts in frame 0

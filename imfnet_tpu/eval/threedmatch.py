@@ -26,7 +26,8 @@ from imfnet_tpu.geom.image import load_image, process_image
 from imfnet_tpu.geom.ply import read_ply
 from imfnet_tpu.geom.trajectory import read_info_file, read_log
 from imfnet_tpu.eval.extract import pad_points
-from imfnet_tpu.eval.registration import make_pair_registration
+from imfnet_tpu.eval.registration import make_keypoint_registration
+from imfnet_tpu.utils.hashing import voxel_key_rows
 
 TEST_SCENE_NAMES = [
     "7-scenes-redkitchen",
@@ -155,6 +156,38 @@ def generate_descriptors(
     return stats
 
 
+def sample_or_load_keypoints(
+    keypoints_root: str,
+    scene_name: str,
+    seq_name: str,
+    frag1_id: int,
+    frag2_id: int,
+    n_i: int,
+    n_j: int,
+    num_rand_keypoints: int,
+    use_saved: bool,
+    rng: np.random.RandomState,
+):
+    """Per-pair raw-point keypoint indices, persisted for replay
+    (`scripts/evaluation_3dmatch.py:140-160`): sample
+    min(N, num_rand_keypoints) random RAW point indices per fragment and
+    cache them as `{scene}_{seq}_{i}_{j}_keypoints.npz{inds_i, inds_j}` under
+    ``keypoints_root``; ``use_saved`` replays an existing cache (the
+    reference's `cfg.keypoints` flag — also the hook for externally-provided
+    keypoint sets in cross-method comparison)."""
+    os.makedirs(keypoints_root, exist_ok=True)
+    path = osp.join(
+        keypoints_root,
+        f"{scene_name}_{seq_name}_{frag1_id}_{frag2_id}_keypoints.npz")
+    if use_saved:
+        kp = np.load(path)
+        return kp["inds_i"], kp["inds_j"]
+    inds_i = rng.choice(n_i, min(n_i, num_rand_keypoints), replace=False)
+    inds_j = rng.choice(n_j, min(n_j, num_rand_keypoints), replace=False)
+    np.savez(path, inds_i=inds_i, inds_j=inds_j)
+    return inds_i, inds_j
+
+
 def run_scene_matching(
     scene_name: str,
     seq_name: str,
@@ -166,9 +199,18 @@ def run_scene_matching(
     inlier_thresh: float = 0.1,
     register=None,
     kpt_pad: Optional[int] = None,
+    keypoints_root: Optional[str] = None,
+    use_saved_keypoints: Optional[bool] = None,
 ) -> Dict:
     """Per gt.log pair registration + stats
-    (`scripts/evaluation_3dmatch.py:239-336`)."""
+    (`scripts/evaluation_3dmatch.py:239-336`).
+
+    Keypoint protocol is the reference's: 5000 random RAW points per
+    fragment (cached npz, replayable), mapped to descriptor rows by
+    fnv-hashed voxel-key intersection (`evaluation_3dmatch.py:140-174`) —
+    raw-point sampling weights keypoints by point density, a different
+    statistic than uniform voxel-row sampling. RANSAC runs with the smaller
+    keypoint set as source (`:182-186`)."""
     out_folder = osp.join(out_root, desc_type)
     os.makedirs(out_folder, exist_ok=True)
     out_filename = "{}-{}-{:.2f}".format(scene_name, seq_name, inlier_thresh)
@@ -182,14 +224,20 @@ def run_scene_matching(
     infos = read_info_file(osp.join(benchmark_dir, scene_name, "gt.info"))
 
     if register is None:
-        register = make_pair_registration(
-            num_keypoints=config.num_rand_keypoints,
+        register = make_keypoint_registration(
             voxel_size=config.voxel_size,
             ransac_n=config.ransac_n,
             num_hypotheses=config.ransac_max_iteration,
             inlier_thresh=inlier_thresh,
         )
-    kpt_pad = kpt_pad or (1 << 15)
+    register = jax.jit(register, static_argnames=("swap",))
+    # ≤ num_rand_keypoints sampled raw points → ≤ that many distinct voxels
+    kpt_pad = kpt_pad or config.num_rand_keypoints
+    if keypoints_root is None:
+        keypoints_root = osp.join(out_root, desc_type + "_keypoints")
+    if use_saved_keypoints is None:
+        use_saved_keypoints = config.use_saved_keypoints
+    kp_rng = np.random.RandomState(config.seed)
 
     scene_dir = osp.join(desc_root, scene_name, seq_name)
     frag_names = sorted(
@@ -200,23 +248,36 @@ def run_scene_matching(
 
     def load_frag(name):
         d = np.load(osp.join(scene_dir, name + ".npz"))
-        xyz, feat = d["xyz"], d["feature"]
-        n = len(xyz)
+        return d["points"], d["xyz"], d["feature"]
+
+    def pad_rows(xyz, feat, rows):
+        rows = rows[:kpt_pad]
         xp = np.zeros((kpt_pad, 3), np.float32)
-        xp[:n] = xyz[:kpt_pad]
         fp = np.zeros((kpt_pad, feat.shape[1]), np.float32)
-        fp[:n] = feat[:kpt_pad]
-        return jnp.asarray(xp), jnp.asarray(fp), min(n, kpt_pad)
+        xp[: len(rows)] = xyz[rows]
+        fp[: len(rows)] = feat[rows]
+        ok = np.arange(kpt_pad) < len(rows)
+        return jnp.asarray(xp), jnp.asarray(fp), jnp.asarray(ok), len(rows)
 
     results = []
     for k, pose in enumerate(poses):
         i, j, _ = pose.indices
-        x0, f0, n0 = load_frag(frag_names[i])
-        x1, f1, n1 = load_frag(frag_names[j])
+        pts0, x0, f0 = load_frag(frag_names[i])
+        pts1, x1, f1 = load_frag(frag_names[j])
+        inds_i, inds_j = sample_or_load_keypoints(
+            keypoints_root, scene_name, seq_name, i, j,
+            len(pts0), len(pts1), config.num_rand_keypoints,
+            use_saved_keypoints, kp_rng,
+        )
+        rows0 = voxel_key_rows(pts0[inds_i], x0, config.voxel_size)
+        rows1 = voxel_key_rows(pts1[inds_j], x1, config.voxel_size)
+        kp0, kd0, ok0, nk0 = pad_rows(x0, f0, rows0)
+        kp1, kd1, ok1, nk1 = pad_rows(x1, f1, rows1)
         out = register(
-            jax.random.PRNGKey(k), x0, f0, n0, x1, f1, n1,
+            jax.random.PRNGKey(k), kp0, kd0, ok0, kp1, kd1, ok1,
             jnp.asarray(pose.transformation.astype(np.float32)),
             jnp.asarray(infos[k]["covariance"]),
+            swap=bool(nk0 >= nk1),  # smaller side as RANSAC source (:182-186)
         )
         results.append({
             "frag1": frag_names[i],
@@ -365,11 +426,12 @@ def evaluate(
     desc_type: str = "IMFNet",
     scenes: Optional[List[str]] = None,
     seq_name: str = "seq-01",
+    keypoints_root: Optional[str] = None,
+    use_saved_keypoints: Optional[bool] = None,
 ) -> Dict:
     """Full benchmark loop (`scripts/evaluation_3dmatch.py:501-553`)."""
     scenes = scenes or TEST_SCENE_NAMES
-    register = make_pair_registration(
-        num_keypoints=config.num_rand_keypoints,
+    register = make_keypoint_registration(
         voxel_size=config.voxel_size,
         ransac_n=config.ransac_n,
         num_hypotheses=config.ransac_max_iteration,
@@ -379,6 +441,8 @@ def evaluate(
         run_scene_matching(
             s, seq_name, desc_type, desc_root, out_root, benchmark_dir,
             config, config.inlier_thresh, register=register,
+            keypoints_root=keypoints_root,
+            use_saved_keypoints=use_saved_keypoints,
         )
         for s in scenes
     ]

@@ -90,6 +90,51 @@ def test_evaluate_synthetic_benchmark(tmp_path, seed):
     assert osp.exists(out_root / "TEST" /
                       f"{scene}-{seq}-{config.inlier_thresh:.2f}.txt")
 
+    # --- keypoint replay protocol (`evaluation_3dmatch.py:140-160`) ---
+    # per-pair keypoint caches were persisted during the run ...
+    kp_dir = out_root / "TEST_keypoints"
+    kp_files = sorted(os.listdir(kp_dir))
+    assert kp_files == [f"{scene}_{seq}_0_1_keypoints.npz",
+                        f"{scene}_{seq}_1_2_keypoints.npz"]
+    kp0 = np.load(kp_dir / kp_files[0])
+    assert kp0["inds_i"].shape[0] == min(n_pts, config.num_rand_keypoints)
+    # ... and a second run (different out_root, as another "method") that
+    # replays them reproduces the per-pair metrics exactly
+    out2 = tmp_path / "out2"
+    summary2 = evaluate(
+        config, str(desc_root), str(out2), str(bench_dir),
+        desc_type="TEST2", scenes=[scene], seq_name=seq,
+        keypoints_root=str(kp_dir), use_saved_keypoints=True)
+    for key in ("registration_recall", "inlier_ratio", "RRE", "RTE"):
+        assert summary2[key] == pytest.approx(summary[key], rel=1e-5), key
+
+
+def test_voxel_key_row_mapping():
+    """Raw-point keypoints map onto voxel rows by fnv-hashed key
+    intersection (`evaluation_3dmatch.py:164-171`) — density-weighted, not
+    uniform over voxels."""
+    from imfnet_tpu.utils.hashing import fnv_hash_vec, voxel_key_rows
+
+    rng = np.random.RandomState(0)
+    voxel = 0.05
+    # table: 40 voxel reps on a grid. NOTE: ME's column-fold FNV (which the
+    # reference evaluator uses, and this port reproduces) has structured
+    # collisions on small symmetric coordinate ranges like [-2,2]; real
+    # fragments span wide ranges where collisions are rare. Positive coords
+    # here keep the oracle check exact.
+    grid = (np.stack(np.meshgrid(*[np.arange(1, 6)] * 3), -1)
+            .reshape(-1, 3)[:40].astype(np.float64))
+    table = grid * voxel + voxel * 0.5
+    # raw samples: points inside the first 7 voxels, several per voxel
+    samples = np.repeat(table[:7], 3, axis=0) + \
+        rng.uniform(-0.4, 0.4, (21, 3)) * voxel
+    rows = voxel_key_rows(samples, table, voxel)
+    np.testing.assert_array_equal(np.sort(rows), np.arange(7))
+    # hash is FNV-1 column fold: deterministic and collision-free here
+    h = fnv_hash_vec(np.floor(table / voxel))
+    assert len(np.unique(h)) == len(table)
+    assert h.dtype == np.uint64
+
 
 def test_compare_methods_and_convert(tmp_path):
     """Cross-method comparison: a good method and a broken baseline on the
