@@ -4,9 +4,15 @@ The jit-side equivalent of `extract_features` (`util/misc.py:21-104`): inside
 one XLA program it voxel-quantizes (occupancy-1 features), builds the UNet
 coordinate pyramid, and runs the model in eval mode. The host only pads the
 raw point array to a static bucket.
+
+Fragments whose voxel span exceeds the static dense-grid extent
+(config.grid_extent) are routed host-side to the exact binary-search
+pyramid instead of being silently cropped — the dense grid is a fast path,
+never a field-of-view limit.
 """
 from __future__ import annotations
 
+import logging
 from typing import Tuple
 
 import jax
@@ -30,31 +36,64 @@ def pad_points(xyz: np.ndarray, n_raw_pad: int) -> Tuple[np.ndarray, int]:
     return out, n
 
 
+def _span_fits_grid(xyz_raw, n_raw, voxel_size: float, extent) -> bool:
+    """Host-side check that the fragment's voxel span fits the static grid
+    (sparse.grid.fits_grid on raw points, BEFORE any cropping can happen)."""
+    pts = np.asarray(xyz_raw)[: int(n_raw)]
+    if len(pts) == 0:
+        return True
+    v = np.floor(pts / voxel_size)
+    span = v.max(0) - v.min(0) + 1
+    return bool((span <= np.asarray(extent)).all())
+
+
 def make_extractor(model, variables, *, config: Config, n_pad: int,
                    voxel_size: float | None = None):
-    """Returns jitted extract(xyz_raw[nraw,3], n_raw, image[1,H,W,3]) →
-    (xyz_down[n_pad,3], feats[n_pad,C], num_valid)."""
+    """Returns extract(xyz_raw[nraw,3], n_raw, image[1,H,W,3]) →
+    (xyz_down[n_pad,3], feats[n_pad,C], num_valid).
+
+    Host wrapper over two jitted variants: the dense-grid fast path and the
+    exact binary-search path for fragments that exceed the grid extent."""
     vox = voxel_size if voxel_size is not None else config.voxel_size
-    pyramid_fn = make_pyramid_fn(config, n_pad, num_batches=1)
-    if config.use_grid_maps:
-        from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+    def build(use_grid: bool):
+        pyramid_fn = make_pyramid_fn(config, n_pad, num_batches=1,
+                                     use_grid=use_grid)
+        if use_grid:
+            from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-        def quantize_fn(x, f, valid):
-            return quantize_grid(x, f, valid, vox, n_pad, spec)
-    else:
-        def quantize_fn(x, f, valid):
-            return quantize(x, f, valid, vox, n_pad)
+            spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
 
-    @jax.jit
+            def quantize_fn(x, f, valid):
+                return quantize_grid(x, f, valid, vox, n_pad, spec)
+        else:
+            def quantize_fn(x, f, valid):
+                return quantize(x, f, valid, vox, n_pad)
+
+        @jax.jit
+        def extract(xyz_raw, n_raw, image):
+            valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+            feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+            sv, _, xyz_down = quantize_fn(xyz_raw, feats_in, valid)
+            pyr = pyramid_fn(sv.coords, sv.num_valid)
+            feats = model.apply(variables, sv, pyr, image, train=False)
+            return xyz_down, feats, sv.num_valid
+
+        return extract
+
+    variants = {}
+
     def extract(xyz_raw, n_raw, image):
-        valid = jnp.arange(xyz_raw.shape[0]) < n_raw
-        feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
-        sv, _, xyz_down = quantize_fn(xyz_raw, feats_in, valid)
-        pyr = pyramid_fn(sv.coords, sv.num_valid)
-        feats = model.apply(variables, sv, pyr, image, train=False)
-        return xyz_down, feats, sv.num_valid
+        use_grid = config.use_grid_maps and _span_fits_grid(
+            xyz_raw, n_raw, vox, config.grid_extent)
+        if config.use_grid_maps and not use_grid:
+            logging.warning(
+                "fragment voxel span exceeds grid_extent %s; using the exact"
+                " binary-search pyramid (no points dropped)",
+                tuple(config.grid_extent))
+        if use_grid not in variants:
+            variants[use_grid] = build(use_grid)
+        return variants[use_grid](xyz_raw, n_raw, image)
 
     return extract
 
@@ -71,39 +110,50 @@ def make_bucketed_extractor(model, variables, *, config: Config,
     bucket that holds it. Scan-ordered quantize output packs valid rows at
     the front, so bucketing is a row slice — ~25-40% less padded work for
     typical fragments (3DMatch ~19k voxels vs a fixed 32k pad; KITTI varies
-    10k-120k). One compile per bucket actually hit, persisted in the compile
-    cache.
+    10k-120k). One compile per (bucket, pyramid-path) actually hit,
+    persisted in the compile cache.
+
+    Fragments that exceed config.grid_extent take the exact binary-search
+    pyramid (host-side span check), losing zero voxels.
 
     Returns extract(xyz_raw, n_raw, image) → (xyz_down[n,3], feats[n,C])
     numpy arrays trimmed to the valid count.
     """
     vox = voxel_size if voxel_size is not None else config.voxel_size
     n_max = buckets[-1]
-    if config.use_grid_maps:
-        from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+    def build_quantize(use_grid: bool):
+        if use_grid:
+            from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-        @jax.jit
-        def quantize_max(xyz_raw, n_raw):
-            valid = jnp.arange(xyz_raw.shape[0]) < n_raw
-            feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
-            sv, _, xyz_down = quantize_grid(xyz_raw, feats_in, valid, vox,
-                                            n_max, spec)
-            return sv, xyz_down
-    else:
-        @jax.jit
-        def quantize_max(xyz_raw, n_raw):
-            valid = jnp.arange(xyz_raw.shape[0]) < n_raw
-            feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
-            sv, _, xyz_down = quantize(xyz_raw, feats_in, valid, vox, n_max)
-            return sv, xyz_down
+            spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
 
+            @jax.jit
+            def quantize_max(xyz_raw, n_raw):
+                valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+                feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+                sv, _, xyz_down = quantize_grid(xyz_raw, feats_in, valid,
+                                                vox, n_max, spec)
+                return sv, xyz_down
+        else:
+            @jax.jit
+            def quantize_max(xyz_raw, n_raw):
+                valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+                feats_in = jnp.ones((xyz_raw.shape[0], 1), jnp.float32)
+                sv, _, xyz_down = quantize(xyz_raw, feats_in, valid, vox,
+                                           n_max)
+                return sv, xyz_down
+
+        return quantize_max
+
+    quantize_by_path = {}
     forward_by_bucket = {}
 
-    def forward_for(bucket: int):
-        if bucket not in forward_by_bucket:
-            pyramid_fn = make_pyramid_fn(config, bucket, num_batches=1)
+    def forward_for(bucket: int, use_grid: bool):
+        key = (bucket, use_grid)
+        if key not in forward_by_bucket:
+            pyramid_fn = make_pyramid_fn(config, bucket, num_batches=1,
+                                         use_grid=use_grid)
 
             @jax.jit
             def fwd(coords, feats_in, n, image):
@@ -113,14 +163,23 @@ def make_bucketed_extractor(model, variables, *, config: Config,
                 pyr = pyramid_fn(coords, n)
                 return model.apply(variables, sv, pyr, image, train=False)
 
-            forward_by_bucket[bucket] = fwd
-        return forward_by_bucket[bucket]
+            forward_by_bucket[key] = fwd
+        return forward_by_bucket[key]
 
     def extract(xyz_raw, n_raw, image):
-        sv, xyz_down = quantize_max(jnp.asarray(xyz_raw), n_raw)
+        use_grid = config.use_grid_maps and _span_fits_grid(
+            xyz_raw, n_raw, vox, config.grid_extent)
+        if config.use_grid_maps and not use_grid:
+            logging.warning(
+                "fragment voxel span exceeds grid_extent %s; using the exact"
+                " binary-search pyramid (no points dropped)",
+                tuple(config.grid_extent))
+        if use_grid not in quantize_by_path:
+            quantize_by_path[use_grid] = build_quantize(use_grid)
+        sv, xyz_down = quantize_by_path[use_grid](jnp.asarray(xyz_raw), n_raw)
         n = int(sv.num_valid)
         bucket = next((b for b in buckets if b >= n), n_max)
-        fwd = forward_for(bucket)
+        fwd = forward_for(bucket, use_grid)
         feats = fwd(sv.coords[:bucket], sv.feats[:bucket],
                     jnp.minimum(sv.num_valid, bucket), image)
         return np.asarray(xyz_down)[:n], np.asarray(feats)[:n]

@@ -152,3 +152,45 @@ def test_bucketed_extractor_matches_fixed(setup):
     assert len(xd_b) == nv
     np.testing.assert_allclose(np.asarray(xd_f)[:nv], xd_b, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(f_f)[:nv], f_b, rtol=2e-3, atol=2e-4)
+
+
+def test_oversized_fragment_falls_back_to_exact_pyramid(setup):
+    """A fragment spanning more voxels than config.grid_extent must route to
+    the binary-search pyramid and lose ZERO valid voxels (the dense grid
+    would silently crop it — sparse/grid.py quantize_grid drops
+    out-of-extent points)."""
+    from imfnet_tpu.eval.extract import make_bucketed_extractor
+
+    config, model, variables, pair, n_raw_pad, *_ = setup
+    assert config.use_grid_maps and config.grid_extent == (128, 128, 128)
+    bucketed = make_bucketed_extractor(
+        model, variables, config=config,
+        buckets=(1024, 2048, config.max_points))
+    # stretch the cloud far beyond the 128-cell extent (128*0.025 = 3.2 m)
+    wide = pair.xyz0 * 6.0
+    raw0, n0 = pad_points(wide, n_raw_pad)
+    img = jnp.zeros((1, 24, 32, 3), jnp.float32)
+    xd_b, f_b = bucketed(raw0, n0, img)
+    # exact voxel count of the stretched cloud (numpy oracle)
+    v = np.unique(np.floor(wide / config.voxel_size).astype(np.int64), axis=0)
+    assert len(xd_b) == len(v), (len(xd_b), len(v))
+    assert np.isfinite(f_b).all()
+
+
+def test_oversized_training_sample_fails_loudly():
+    """The jitted train step cannot switch pyramids per batch, so an
+    oversized sample must raise a clear error instead of silently cropping
+    (collate_pairs grid_extent guard), and the loader must surface it."""
+    from imfnet_tpu.data.collate import collate_pairs
+    from imfnet_tpu.data.datasets import PairLoader, SyntheticPairDataset
+
+    config = threedmatch_config(max_points=4096, grid_extent=(16, 16, 16))
+    dset = SyntheticPairDataset("val", config, length=2, n_points=500)
+    sample = dset[0]  # spans ~1.5 m / 0.025 m = 60 voxels >> 16
+    with pytest.raises(RuntimeError, match="grid_extent"):
+        collate_pairs([sample], config.max_points,
+                      grid_extent=config.grid_extent)
+    loader = PairLoader(dset, 1, config.max_points, shuffle=False,
+                        grid_extent=config.grid_extent)
+    with pytest.raises(RuntimeError, match="grid_extent"):
+        list(loader)
