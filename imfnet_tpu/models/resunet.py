@@ -137,20 +137,22 @@ class ResUNetIMF(nn.Module):
             out = gather_from_padded(fused, safe_b, ranks, masks[3])
 
         # ---- decoder (model/resunet.py:191-226) ----
+        # up maps are z-adjacent too: a column's existing targets (z±t,
+        # consecutive coarse-lattice steps) occupy consecutive coarse rows
         out = SparseConv(ch[3], tr[3], 27, compute_dtype=dt, name="conv4_tr")(
-            out, lv[2].up, nbr_inv=lv[3].down)
+            out, lv[2].up, nbr_inv=lv[3].down, z_adjacent=True)
         out = norm(out, 2, tr[3], "norm4_tr")
         out = block(out, 2, tr[3], "block4_tr")
         out = sparse_cat(out, out_s4)
 
         out = SparseConv(ch[2] + tr[3], tr[2], 27, compute_dtype=dt, name="conv3_tr")(
-            out, lv[1].up, nbr_inv=lv[2].down)
+            out, lv[1].up, nbr_inv=lv[2].down, z_adjacent=True)
         out = norm(out, 1, tr[2], "norm3_tr")
         out = block(out, 1, tr[2], "block3_tr")
         out = sparse_cat(out, out_s2)
 
         out = SparseConv(ch[1] + tr[2], tr[1], 27, compute_dtype=dt, name="conv2_tr")(
-            out, lv[0].up, nbr_inv=lv[1].down)
+            out, lv[0].up, nbr_inv=lv[1].down, z_adjacent=True)
         out = norm(out, 0, tr[1], "norm2_tr")
         out = block(out, 0, tr[1], "block2_tr")
         out = sparse_cat(out, out_s1)

@@ -84,7 +84,8 @@ class SimpleUNetBase(nn.Module):
             cin = ch[i] + (tr[i + 1] if i < depth - 1 else 0)
             out = SparseConv(cin, tr[i], 27, compute_dtype=dt,
                              name=f"conv{i + 1}_tr")(out, lv[i - 1].up,
-                                                     nbr_inv=lv[i].down)
+                                                     nbr_inv=lv[i].down,
+                                                     z_adjacent=True)
             out = norm(out, i - 1, tr[i], f"norm{i + 1}_tr")
             out = nn.relu(out)
             out = sparse_cat(out, skips[i - 1])

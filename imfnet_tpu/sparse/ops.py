@@ -145,14 +145,39 @@ def _kz_of(k: int) -> int:
     return kz if kz ** 3 == k else 0
 
 
+# Measured XLA gather cost on TPU v5e (scripts_dev/profile_gather.py): a
+# fixed per-row cost floor plus a bandwidth term for wide rows. Shapes are
+# static at trace time, so the strategy choice compiles away.
+_GATHER_ROW_NS = 3.4
+_GATHER_BYTES_PER_NS = 22.0
+
+
+def _gather_ns(rows: int, width_bytes: int) -> float:
+    return rows * max(_GATHER_ROW_NS, width_bytes / _GATHER_BYTES_PER_NS)
+
+
 def _apply(x, nbr, w, z_adjacent: bool = False):
-    """Pick the gather strategy by measured gather cost: z-window gathers
-    when the map guarantees z-adjacency, else mul-first when Cout < Cin
-    (narrower product rows), else gather-first."""
-    kz = _kz_of(nbr.shape[1])
+    """Pick the gather strategy by modeled gather cost:
+
+    - flat:      K narrow gathers of Cin-wide input rows, one GEMM
+    - mul-first: one GEMM, then K narrow gathers of Cout-wide product rows
+                 (wins when Cout < Cin)
+    - z-window:  K/kz wide gathers of kz·Cin-wide windows (needs the map's
+                 z-adjacency; wins when the per-row floor dominates)
+    """
+    n_out, k = nbr.shape
+    cin, cout = w.shape[1], w.shape[2]
+    kz = _kz_of(k)
+    b = x.dtype.itemsize
+    cost = {"flat": _gather_ns(n_out * k, cin * b)}
+    if cout < cin:
+        cost["mul_first"] = _gather_ns(n_out * k, cout * b)
     if z_adjacent and kz >= 3:
+        cost["zwin"] = _gather_ns(n_out * (k // kz), kz * cin * b)
+    best = min(cost, key=cost.get)
+    if best == "zwin":
         return _z3_apply(x, nbr, w, kz)
-    if w.shape[2] < w.shape[1]:
+    if best == "mul_first":
         return _mul_first_apply(x, nbr, w)
     return _flat_apply(x, nbr, w)
 
@@ -202,10 +227,12 @@ def _conv_tb_bwd(compute_dtype, z_adjacent, res, dy):
         dimension_numbers=(((0,), (0,)), ((), ())),          # [K,Cin,Cout]
         preferred_element_type=jnp.float32,
     )
-    # dX via the inverse map (chooser: encoder convs have Cin < Cout, so
-    # their backward gathers the narrower dY@Wᵀ product rows)
+    # dX via the inverse map. All pyramid maps (stride-1, down, AND up —
+    # the existing targets of an up column are consecutive coarse rows)
+    # satisfy the z-adjacency invariant, so the inverse map inherits the
+    # conv's flag and the chooser can pick the z-window there too.
     w_flip_t = jnp.flip(weight.astype(dt), axis=0).transpose(0, 2, 1)
-    dx = _apply(dyc, nbr_inv, w_flip_t)
+    dx = _apply(dyc, nbr_inv, w_flip_t, z_adjacent=z_adjacent)
     return dx.astype(feats.dtype), None, None, dw.astype(weight.dtype)
 
 

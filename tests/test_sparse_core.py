@@ -259,6 +259,10 @@ def test_z_window_conv_matches_flat(rng):
         ("same-k3", lv[0].k3_same, lv[0].k3_same, 384, 27),
         ("down-k3", lv[1].down, lv[0].up, 384, 27),
         ("same-k5", pyr.k5_l0, pyr.k5_l0, 384, 125),
+        # transpose up map: a column's existing targets are z±t — adjacent
+        # coarse-lattice steps, hence consecutive coarse rows, so the
+        # z-window invariant holds here too (enabled round 2)
+        ("up-k3", lv[0].up, lv[1].down, 256, 27),
     ]
     for name, nbr, inv, n_in, k in cases:
         n_out = nbr.shape[0]
