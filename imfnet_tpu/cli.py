@@ -133,7 +133,12 @@ def cmd_eval_kitti(args):
 def cmd_dam(args):
     import jax.numpy as jnp
 
-    from imfnet_tpu.dam.dam import descriptor_activation_map, save_dam_ply
+    from imfnet_tpu.dam.dam import (
+        descriptor_activation_map,
+        image_activation_map,
+        save_dam_image_overlay,
+        save_dam_ply,
+    )
     from imfnet_tpu.eval.extract import pad_points
     from imfnet_tpu.geom.image import load_image, process_image
     from imfnet_tpu.geom.ply import read_ply
@@ -157,6 +162,11 @@ def cmd_dam(args):
     save_dam_ply(args.out, np.asarray(xyz_down), np.asarray(weights),
                  int(sv.num_valid))
     print(f"DAM written to {args.out}")
+    if getattr(args, "image_out", None):
+        sal = image_activation_map(
+            model, variables, sv, pyr, jnp.asarray(image[None]), args.point)
+        save_dam_image_overlay(args.image_out, image, np.asarray(sal))
+        print(f"DAM image overlay written to {args.image_out}")
 
 
 def cmd_compare(args):
@@ -361,6 +371,8 @@ def main(argv=None):
     pd.add_argument("--image", required=True)
     pd.add_argument("--point", type=int, default=780)
     pd.add_argument("--out", default="3D_head_map.ply")
+    pd.add_argument("--image-out", default=None,
+                    help="also write the image-side attribution overlay PNG")
     pd.set_defaults(fn=cmd_dam)
 
     args = p.parse_args(argv)

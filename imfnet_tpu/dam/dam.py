@@ -91,3 +91,45 @@ def save_dam_ply(path: str, xyz: np.ndarray, weights: np.ndarray, num_valid: int
 
     colors = dam_colors(weights, num_valid)
     write_ply(path, np.asarray(xyz[:num_valid], np.float32), colors=colors)
+
+
+def image_activation_map(model, variables, sv, pyramid, image,
+                         target_index: int) -> jax.Array:
+    """Image-side attribution [H, W]: saliency of the target point's
+    descriptor w.r.t. the input image (|∇_image ‖F[target]‖₁| summed over
+    RGB, grad × input). The image reaches the descriptor only through the
+    bottleneck cross-attention, so this shows WHERE in the frame the fusion
+    looked — the image-side complement of the reference's point-cloud DAM
+    (its `show_cam_on_image` helper, `pytorch_dam/utils/image.py:81-104`,
+    ships unused)."""
+
+    def score(img):
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            sv, pyramid, img, train=False,
+        )
+        return jnp.sum(jnp.abs(out[target_index]))
+
+    g = jax.grad(score)(image)           # [1, H, W, 3]
+    sal = jnp.sum(jnp.abs(g * image), axis=-1)[0]
+    return sal
+
+
+def save_dam_image_overlay(path: str, image: np.ndarray,
+                           saliency: np.ndarray) -> None:
+    """Blend a heat colormap of the image-side attribution over the RGB
+    frame and save it as PNG (the overlay contract of
+    `pytorch_dam/utils/image.py:81-104`: heatmap + img, renormalized)."""
+    img = np.asarray(image, np.float64)
+    if img.max() > 1.0:
+        img = img / 255.0
+    s = np.asarray(saliency, np.float64)
+    rng = s.max() - s.min()
+    t = (s - s.min()) / (rng if rng > 0 else 1.0)
+    heat = dam_colors(t.reshape(-1), t.size).reshape(*t.shape, 3)
+    cam = heat + img
+    cam = cam / cam.max()
+    from imfnet_tpu.geom.image import save_image
+
+    save_image(path, (cam * 255.0).astype(np.uint8))

@@ -61,6 +61,16 @@ def load_image(path: str) -> np.ndarray:
     return img[..., :3]
 
 
+def save_image(path: str, image: np.ndarray) -> None:
+    """Write an HWC image (uint8, or float in [0,1]) to disk."""
+    from PIL import Image
+
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    Image.fromarray(img).save(path)
+
+
 # ---------------------------------------------------------------------------
 # Point → image projection (3DImageMatch dataset construction)
 # ---------------------------------------------------------------------------

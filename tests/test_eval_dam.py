@@ -92,6 +92,25 @@ def test_dam_attribution(setup):
     assert colors.min() >= 0 and colors.max() <= 1
 
 
+def test_dam_image_overlay(tmp_path, setup):
+    """Image-side attribution: nonzero saliency (the descriptor depends on
+    the image through the fusion block) and a valid PNG overlay."""
+    from imfnet_tpu.dam.dam import image_activation_map, save_dam_image_overlay
+    from imfnet_tpu.geom.image import load_image
+
+    config, model, variables, pair, n_raw_pad, sv, pyr, _ = setup
+    rng = np.random.RandomState(1)
+    image = jnp.asarray(rng.rand(1, 24, 32, 3).astype(np.float32))
+    sal = np.asarray(image_activation_map(model, variables, sv, pyr, image, 5))
+    assert sal.shape == (24, 32)
+    assert np.isfinite(sal).all() and sal.max() > 0
+    out = tmp_path / "overlay.png"
+    save_dam_image_overlay(str(out), np.asarray(image[0]), sal)
+    back = load_image(str(out))
+    assert back.shape == (24, 32, 3)
+    assert back.max() <= 1.0 and back.min() >= 0.0
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     from imfnet_tpu.train.checkpoint import (
         load_checkpoint,
