@@ -109,11 +109,39 @@ def compare_methods(
                 keypoints_root=keypoints_root,
                 use_saved_keypoints=bool(kp_preexisting or mi > 0)))
 
-    # side-by-side table + select set
+    # side-by-side table + select set. Select semantics follow the
+    # reference's comparison exporter (`util/visualization.py:363-409`):
+    # success := rte < 0.3 m ∧ rre < 15°, the select set is "primary
+    # succeeds, every baseline fails", and each pair gets a txt record of
+    # every method's errors + estimated transform + GT.
+    rte_thresh, rre_thresh_deg = 0.3, 15.0
+
+    def _succeeds(r):
+        rre = r.get("rre_raw", r["rre"])
+        rte = r.get("rte_raw", r["rte"])
+        return rte < rte_thresh and np.isfinite(rre) and rre < rre_thresh_deg
+
     os.makedirs(out_root, exist_ok=True)
     csv_path = osp.join(out_root, "comparison.csv")
+    result_dir = osp.join(out_root, "result")       # primary successes
+    select_dir = osp.join(out_root, "result_select")  # exclusive successes
+    os.makedirs(result_dir, exist_ok=True)
+    os.makedirs(select_dir, exist_ok=True)
     select: List[tuple] = []
     totals = {m: [0, 0] for m in methods}
+
+    def _write_record(path, scene, rows, all_methods):
+        with open(path, "w") as f:
+            items = zip(methods, rows) if all_methods else [(methods[0], rows[0])]
+            for m, r in items:
+                f.write(f"{m}---rte:{r.get('rte_raw', r['rte'])},"
+                        f"rre:{r.get('rre_raw', r['rre'])},T:\n")
+                f.write("\n".join(" ".join(f"{v:.8f}" for v in row)
+                                  for row in r["transformation"]) + "\n")
+            f.write("Ground Truth,T:\n")
+            f.write("\n".join(" ".join(f"{v:.8f}" for v in row)
+                              for row in np.asarray(rows[0]["T_gt"])) + "\n")
+
     with open(csv_path, "w", newline="") as f:
         wr = csv.writer(f)
         wr.writerow(["scene", "frag1", "frag2"]
@@ -128,10 +156,16 @@ def compare_methods(
                 for m, r in zip(methods, rows):
                     totals[m][0] += r["rr"]
                     totals[m][1] += 1
-                # "ours succeeded, every baseline failed" — meaningless with
-                # no baseline (the all() is vacuously true for one method)
-                if len(methods) > 1 and rows[0]["rr"] == 1 \
-                        and all(r["rr"] == 0 for r in rows[1:]):
+                pair_name = f"{scene}_{rows[0]['frag1']}-{rows[0]['frag2']}.txt"
+                if _succeeds(rows[0]):
+                    _write_record(osp.join(result_dir, pair_name), scene,
+                                  rows, all_methods=False)
+                # exclusive success — meaningless with no baseline (the
+                # all() is vacuously true for one method)
+                if len(methods) > 1 and _succeeds(rows[0]) \
+                        and all(not _succeeds(r) for r in rows[1:]):
+                    _write_record(osp.join(select_dir, pair_name), scene,
+                                  rows, all_methods=True)
                     select.append((scene, rows[0]["frag1"], rows[0]["frag2"],
                                    rows[0].get("transformation")))
 
@@ -160,6 +194,8 @@ def compare_methods(
                        for m in methods},
         "select": [(s, a, b) for s, a, b, _ in select],
         "csv": csv_path,
+        "result_dir": result_dir,
+        "select_dir": select_dir,
         "views": views,
     }
     logging.info("comparison: %s; %d select pairs",

@@ -109,6 +109,11 @@ def make_keypoint_registration(*, voxel_size: float = 0.025,
             "rr": accepted.astype(jnp.float32),
             "rre": jnp.where(accepted, rre, 0.0),
             "rte": jnp.where(accepted, rte, 0.0),
+            # unconditional errors (the RR-gated ones mirror the evaluator's
+            # aggregation; visualization select thresholds need the raw
+            # values, `util/visualization.py:363-377`)
+            "rre_raw": rre,
+            "rte_raw": rte,
             "ir": ir,
             "num_inliers": num_inl,
             "inlier_ratio_mutual": ratio,

@@ -288,9 +288,12 @@ def run_scene_matching(
             "rr": float(out["rr"]),
             "rre": float(out["rre"]),
             "rte": float(out["rte"]),
+            "rre_raw": float(out["rre_raw"]),
+            "rte_raw": float(out["rte_raw"]),
             "ir": float(out["ir"]),
-            # estimated pose kept for cross-method view export (eval.compare)
+            # estimated + gt poses kept for cross-method export (eval.compare)
             "transformation": np.asarray(out["transformation"]).tolist(),
+            "T_gt": pose.transformation.tolist(),
         })
 
     payload = {

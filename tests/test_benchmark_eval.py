@@ -197,6 +197,15 @@ def test_compare_methods_and_convert(tmp_path):
     first = summary["views"][0]
     assert osp.exists(tmp_path / "cmp" / "select_views" / (first + "-before.ply"))
     assert osp.exists(tmp_path / "cmp" / "select_views" / (first + "-after.ply"))
+    # reference-style export records (`util/visualization.py:363-409`):
+    # result/ = primary successes, result_select/ = exclusive successes with
+    # every method's transform + GT
+    results = os.listdir(summary["result_dir"])
+    selects = os.listdir(summary["select_dir"])
+    assert len(results) == 2 and len(selects) >= 1
+    txt = open(osp.join(summary["select_dir"], selects[0])).read()
+    assert "GOOD---rte:" in txt and "BAD---rte:" in txt
+    assert "Ground Truth,T:" in txt
 
     # --- external conversion (spinnet_desc reformat) ---
     ext_desc = tmp_path / "ext" / scene
