@@ -86,7 +86,11 @@ class Config:
     ransac_n: int = 3
     ransac_max_iteration: int = 50000
     ransac_edge_length_ratio: float = 0.9
-    nn_max_n: int = 500
+    # NN chunk size (result-invariant): the reference's GPU-memory knob
+    # (`lib/eval.py:18-48`, default 500); larger blocks suit the TPU MXU
+    nn_max_n: int = 4096
+    # validation subsample (`lib/trainer.py:419` hardcodes 5000)
+    val_subsample_size: int = 5000
 
     # --- TPU-specific (new capability; no reference equivalent) ---
     # Static padded sizes (per concatenated batch) for the sparse engine.

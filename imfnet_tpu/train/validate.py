@@ -24,7 +24,14 @@ def _subsample(key, valid, k):
     return idx.astype(jnp.int32), top >= 0.0
 
 
-def make_val_step(model, config: Config, subsample_size: int = 5000):
+def make_val_step(model, config: Config, subsample_size: int | None = None):
+    """subsample_size defaults to config.val_subsample_size (the reference's
+    5000-point subsample, `lib/trainer.py:419`); the NN pass is chunked by
+    config.nn_max_n (result-invariant block size, `lib/eval.py:18-48`)."""
+    if subsample_size is None:
+        subsample_size = config.val_subsample_size
+    nn_block = max(int(config.nn_max_n), 128)
+
     @jax.jit
     def val_step(params, batch_stats, batch: PairBatch, key):
         f0, f1, _ = forward_pair(
@@ -37,7 +44,7 @@ def make_val_step(model, config: Config, subsample_size: int = 5000):
         i1, ok1 = _subsample(k1, v1, subsample_size)
         sf0, sx0 = jnp.take(f0, i0, 0), jnp.take(batch.xyz0, i0, 0)
         sf1, sx1 = jnp.take(f1, i1, 0), jnp.take(batch.xyz1, i1, 0)
-        nn01 = nn_auto(sf0, sf1, ok1, block=4096)[0]
+        nn01 = nn_auto(sf0, sf1, ok1, block=nn_block)[0]
         x0c, x1c = sx0, jnp.take(sx1, nn01, 0)
 
         T_est = est_rigid_irls(x0c, x1c, valid=ok0)
