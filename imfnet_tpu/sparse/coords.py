@@ -34,16 +34,20 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Coordinate offset so shifted coords are non-negative 16-bit values.
 COORD_SHIFT = 1 << 15
 # Sentinel coordinate stored in padding rows (outside the valid coord range).
-PAD_COORD = jnp.int32(-(1 << 20))
+# numpy scalars, not jnp: creating a device array at import time would
+# initialize the XLA backend, which forbids a later
+# jax.distributed.initialize (multi-host bring-up).
+PAD_COORD = np.int32(-(1 << 20))
 # Sentinel keys. Table padding sorts last; query padding never matches it.
-PAD_TABLE_HI = jnp.uint32(0xFFFFFFFF)
-PAD_TABLE_LO = jnp.uint32(0xFFFFFFFF)
-PAD_QUERY_HI = jnp.uint32(0xFFFFFFFE)
-PAD_QUERY_LO = jnp.uint32(0xFFFFFFFE)
+PAD_TABLE_HI = np.uint32(0xFFFFFFFF)
+PAD_TABLE_LO = np.uint32(0xFFFFFFFF)
+PAD_QUERY_HI = np.uint32(0xFFFFFFFE)
+PAD_QUERY_LO = np.uint32(0xFFFFFFFE)
 
 
 class SparseVoxels(NamedTuple):
