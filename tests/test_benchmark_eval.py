@@ -222,6 +222,7 @@ def test_compare_methods_and_convert(tmp_path):
     assert d["feature"].shape == (n_pts, n_desc)
 
 
+@pytest.mark.slow
 def test_generate_descriptors_writes_npz(tmp_path, rng=None):
     """PLY scene → bucketed extraction → .npz{points,xyz,feature} artifacts
     (`scripts/generate_desc.py:44-133` contract)."""
@@ -270,6 +271,7 @@ def test_generate_descriptors_writes_npz(tmp_path, rng=None):
         np.linalg.norm(d["feature"], axis=1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_visualize_pair_registration(tmp_path):
     """visualize_pair_registration writes before/after views and returns a
     finite pose (visualization_ours flow)."""

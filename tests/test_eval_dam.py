@@ -43,6 +43,7 @@ def setup():
     return config, model, variables, pair, n_raw_pad, sv, pyr, image
 
 
+@pytest.mark.slow
 def test_extract_and_register_recovers_pose(setup):
     """The full eval path: extract on both sides of a synthetic pair with an
     untrained-but-shared model must still register (same-geometry voxels get
@@ -92,6 +93,7 @@ def test_dam_attribution(setup):
     assert colors.min() >= 0 and colors.max() <= 1
 
 
+@pytest.mark.slow
 def test_dam_image_overlay(tmp_path, setup):
     """Image-side attribution: nonzero saliency (the descriptor depends on
     the image through the fusion block) and a valid PNG overlay."""
@@ -173,6 +175,7 @@ def test_bucketed_extractor_matches_fixed(setup):
     np.testing.assert_allclose(np.asarray(f_f)[:nv], f_b, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_oversized_fragment_falls_back_to_exact_pyramid(setup):
     """A fragment spanning more voxels than config.grid_extent must route to
     the binary-search pyramid and lose ZERO valid voxels (the dense grid

@@ -1,5 +1,6 @@
 """Grid-based coordinate index vs binary-search reference path."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_grid_lookup_exact(rng):
         assert hit2[i] == table.get(tuple(shifted[i]), -1)
 
 
+@pytest.mark.slow
 def test_grid_pyramid_matches_search_pyramid(rng):
     c0 = make_cloud(rng, 120, 0, span=10)
     c1 = make_cloud(rng, 90, 1, span=10)

@@ -117,6 +117,7 @@ def test_resunet_forward_shapes(small_model_setup):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_resunet_batch_equals_per_sample(small_model_setup):
     """Eval-mode forward of a 2-sample batch == each sample alone.
 
@@ -145,6 +146,7 @@ def test_resunet_batch_equals_per_sample(small_model_setup):
     np.testing.assert_allclose(out[n0:len(coords)], outs[1], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_resunet_train_grads(small_model_setup):
     _, _, _, _, _, sv, pyr, images, model, variables = small_model_setup
 
@@ -197,6 +199,7 @@ def test_registry():
         assert load_model(name) is not None, name
 
 
+@pytest.mark.slow
 def test_simplenet_variant_forward(rng):
     """One BN and one IN variant instantiate and run (5-level SimpleNet3E)."""
     from imfnet_tpu.sparse.build import from_numpy

@@ -106,6 +106,7 @@ def test_dp_step_runs_on_8_devices(rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_parallel_registration_matches_single(rng):
     """Sharded batch-of-pairs registration == per-pair registration."""
     import jax

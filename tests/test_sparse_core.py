@@ -1,5 +1,6 @@
 """Unit tests for the coordinate engine and sparse conv vs numpy oracles."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -238,6 +239,7 @@ def test_build_pyramid_structure(rng):
     assert (up0[:n] >= 0).any(axis=1).all()
 
 
+@pytest.mark.slow
 def test_z_window_conv_matches_flat(rng):
     """The z-window gather path (z_adjacent=True) must match the flat
     gather exactly — forward and gradients — on real stride-1/down k3 maps
