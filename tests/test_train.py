@@ -167,3 +167,52 @@ def test_train_step_decreases_loss(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+def test_training_improves_matching(rng):
+    """Quality regression gate ('training works' as a number, not a smoke
+    test — the full-generalization curve lives in
+    scripts_dev/train_quality_curve.py): overfitting one fixed pair batch
+    must drive the matching hit-ratio sharply up. Uses DENSE synthetic
+    surfaces (extent 0.45 @ 900 pts ~= 5 occupied k3 neighbors/voxel): at
+    the default extent most voxels are isolated, the geometry carries no
+    signal, and descriptors rightly collapse."""
+    from imfnet_tpu.data.collate import collate_pairs
+    from imfnet_tpu.data.synthetic import synthetic_pair
+    from imfnet_tpu.train.validate import make_val_step
+
+    config = small_config().replace(lr=0.3, num_pos_per_batch=256,
+                                    val_subsample_size=1024)
+    model = make_model(config)
+    batch = collate_pairs(
+        [synthetic_pair(np.random.RandomState(s), n_points=900, extent=0.45,
+                        image_hw=(24, 32)) for s in (7, 8)],
+        config.max_points)
+    val_batch = collate_pairs(
+        [synthetic_pair(np.random.RandomState(7), n_points=900, extent=0.45,
+                        image_hw=(24, 32))], config.max_points)
+
+    sv = SparseVoxels(batch.coords0, batch.feats0, batch.n0)
+    pyr = build_pyramid(batch.coords0, batch.n0,
+                        conv1_kernel_size=config.conv1_kernel_size,
+                        level_capacity=level_capacities(config.max_points))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, batch.image0,
+                           train=False)
+    tx = make_optimizer(config, steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx, config))
+    val_step = make_val_step(model, config.replace(batch_size=1))
+
+    def hit_ratio(s):
+        return float(val_step(s.params, s.batch_stats, val_batch,
+                              jax.random.PRNGKey(7))["hit_ratio"])
+
+    hr0 = hit_ratio(state)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    hr1 = hit_ratio(state)
+    assert losses[-1] < 0.7 * losses[0], losses
+    assert hr1 > max(2.5 * hr0, hr0 + 0.1), (hr0, hr1)
