@@ -204,6 +204,68 @@ def main():
     _ = float(ir_last)  # drains the whole chain
     dt = time.perf_counter() - t0
 
+    # ---- per-stage attribution + MFU (same chained-loop discipline) ----
+    def timeloop(body):
+        @jax.jit
+        def run():
+            return jax.lax.fori_loop(
+                0, iters, lambda i, c: body(c) * jnp.float32(1e-20),
+                jnp.float32(0.0))
+
+        _ = float(run())
+        t = time.perf_counter()
+        _ = float(run())
+        return (time.perf_counter() - t) / iters * 1e3
+
+    def quant_only(xyz):
+        sv, _, xyz_down = quantize_grid(
+            xyz, jnp.ones((2 * N_RAW, 1), jnp.float32),
+            jnp.asarray(n_cat_valid), config.voxel_size, N_PAD2, spec,
+            batch_index=jnp.asarray(bidx))
+        return sv, xyz_down
+
+    sv_c, xyz_down_c = jax.jit(quant_only)(xyz_cat)
+    pyr_c = jax.jit(lambda c, n: pyramid_fn(c, n))(sv_c.coords, sv_c.num_valid)
+    fwd_jit = jax.jit(lambda sv, pyr: model.apply(variables, sv, pyr, images,
+                                                  train=False))
+    feats_c = fwd_jit(sv_c, pyr_c)
+    n0_c = jnp.sum((sv_c.coords[:, 0] == 0).astype(jnp.int32)
+                   * sv_c.mask().astype(jnp.int32))
+
+    def _match_body(c):
+        key = jax.random.PRNGKey(0)
+        k0, k1, k2 = jax.random.split(key, 3)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0_c, K)
+        i1, ok1 = sample_keypoints_segment(k1, n0_c, sv_c.num_valid - n0_c, K)
+        f = feats_c + c
+        kp0, kd0 = jnp.take(xyz_down_c, i0, 0), jnp.take(f, i0, 0)
+        kp1, kd1 = jnp.take(xyz_down_c, i1, 0), jnp.take(f, i1, 0)
+        return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)["rte"]
+
+    stages = {
+        "quantize_ms": timeloop(
+            lambda c: quant_only(xyz_cat + c)[0].feats[0, 0]),
+        "pyramid_ms": timeloop(lambda c: pyramid_fn(
+            sv_c.coords,
+            sv_c.num_valid - (c > jnp.float32(1e30)).astype(jnp.int32)
+        ).levels[0].k3_same[0, 0].astype(jnp.float32)),
+        "forward_ms": timeloop(lambda c: model.apply(
+            variables, sv_c._replace(feats=sv_c.feats + c), pyr_c, images,
+            train=False)[0, 0]),
+        "match_ms": timeloop(_match_body),
+    }
+
+    # MFU of the model forward against the chip's bf16 peak; flops from
+    # XLA's own cost model for the compiled forward
+    try:
+        fwd_flops = float(fwd_jit.lower(sv_c, pyr_c).compile()
+                          .cost_analysis()["flops"])
+    except Exception:
+        fwd_flops = float("nan")
+    peak_tflops = 197.0  # TPU v5e bf16 peak
+    ach = fwd_flops / (stages["forward_ms"] * 1e-3) / 1e12
+    stages = {k: round(v, 2) for k, v in stages.items()}
+
     pairs_per_sec = iters / dt
     baseline_pairs_per_sec = 1.0  # estimated reference throughput (see header)
     print(json.dumps({
@@ -211,6 +273,10 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 2),
+        "stages": stages,
+        "forward_gflops": round(fwd_flops / 1e9, 1),
+        "forward_tflops_per_s": round(ach, 2),
+        "forward_mfu_vs_v5e_bf16_peak": round(ach / peak_tflops, 4),
     }))
 
 

@@ -145,39 +145,126 @@ def _kz_of(k: int) -> int:
     return kz if kz ** 3 == k else 0
 
 
-# Measured XLA gather cost on TPU v5e (scripts_dev/profile_gather.py): a
-# fixed per-row cost floor plus a bandwidth term for wide rows. Shapes are
-# static at trace time, so the strategy choice compiles away.
-_GATHER_ROW_NS = 3.4
-_GATHER_BYTES_PER_NS = 22.0
+def _band_width(n_out: int, n_in: int, k: int) -> int:
+    """Static per-block window size for _banded_apply, from measured
+    per-column rank spreads on real 3DMatch fragments at B=256
+    (scripts_dev/profile_band.py): stride-1 k3 p100 ~450, k5 ~600, up maps
+    ~160, down maps ~1170. Underestimates only cost speed (in-graph
+    fallback), never correctness."""
+    if n_out > n_in:
+        return 256                    # transpose up: coarse targets
+    if n_out < n_in:
+        return 1536                   # down: fine targets spread ~3x wider
+    return 512 if k <= 27 else 640    # stride-1
 
 
-def _gather_ns(rows: int, width_bytes: int) -> float:
-    return rows * max(_GATHER_ROW_NS, width_bytes / _GATHER_BYTES_PER_NS)
+def _banded_apply(x, nbr, w, kz: int, block: int = 256,
+                  width: int | None = None):
+    """Banded one-hot GEMM convolution — gather-free selection on the MXU.
+
+    Voxel rows are in scan (key) order, so each kernel column's targets are
+    rank-monotone: a block of B output rows reads a CONTIGUOUS window of
+    ≲512 input rows per (dx, dy) column (measured: profile_band.py). Per
+    block, one dynamic-slice per column fetches the kz-widened window and a
+    0/1 matrix (anchor rank one-hot) selects rows via a single batched
+    matmul — replacing XLA's per-row gathers (the sparse-conv wall, slow
+    and tile-width-sensitive) with MXU work. Selection is EXACT in any
+    dtype (one nonzero per one-hot row).
+
+    If any block's window overflows the static width (fragment denser than
+    the measured envelope), an in-graph lax.cond falls back to _flat_apply
+    for the whole conv — a speed penalty, never a correctness one.
+    """
+    n_in, cin = x.shape
+    n_out, k = nbr.shape
+    ncol = k // kz
+    cout = w.shape[2]
+    W = _band_width(n_out, n_in, k) if width is None else width
+    B = block
+    nb = -(-n_out // B)
+    if nb * B != n_out:
+        nbr_p = jnp.concatenate(
+            [nbr, jnp.full((nb * B - n_out, k), -1, jnp.int32)], 0)
+    else:
+        nbr_p = nbr
+
+    nbrw = nbr_p.reshape(-1, ncol, kz)
+    exists = nbrw >= 0
+    anchor = jnp.full(nbrw.shape[:2], n_in, jnp.int32)
+    for d in range(kz - 1, -1, -1):
+        anchor = jnp.where(exists[..., d], nbrw[..., d], anchor)
+    has = anchor < n_in
+    pos = jnp.cumsum(exists.astype(jnp.int32), -1) - exists.astype(jnp.int32)
+
+    anc = anchor.reshape(nb, B, ncol)
+    hasb = has.reshape(nb, B, ncol)
+    big = jnp.int32(1 << 30)
+    am = jnp.where(hasb, anc, big)
+    starts = jnp.min(am, axis=1)                            # [nb, ncol]
+    starts = jnp.where(starts == big, 0, starts)
+    hi = jnp.max(jnp.where(hasb, anc, -1), axis=1)
+    exact = jnp.all(hi - starts < W)
+
+    local = anc - starts[:, None, :]
+    exb = exists.reshape(nb, B, ncol, kz)
+    pob = pos.reshape(nb, B, ncol, kz)
+
+    def banded():
+        xp = jnp.concatenate([x, jnp.zeros((kz - 1, cin), x.dtype)], 0)
+        xw = jnp.concatenate([xp[j:n_in + j] for j in range(kz)], 1)
+        xe = jnp.concatenate([xw, jnp.zeros((W, kz * cin), x.dtype)], 0)
+
+        def step(c, inp):
+            st, loc, hs, ex, po = inp
+            wins = jnp.stack([
+                jax.lax.dynamic_slice(xe, (st[i], 0), (W, kz * cin))
+                for i in range(ncol)])                      # [ncol,W,kz*cin]
+            iota = jnp.arange(W, dtype=jnp.int32)
+            oh = ((loc[..., None] == iota) & hs[..., None]).astype(x.dtype)
+            g = jax.lax.dot_general(                        # [ncol,B,kz*cin]
+                oh.transpose(1, 0, 2), wins, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            g = g.transpose(1, 0, 2).reshape(B, ncol, kz, cin)
+            zero = jnp.zeros_like(g[:, :, 0, :])
+            slots = []
+            for d in range(kz):
+                v = g[:, :, 0, :]
+                for p in range(1, kz):
+                    v = jnp.where((po[..., d] == p)[..., None],
+                                  g[:, :, p, :], v)
+                slots.append(jnp.where(ex[..., d, None], v, zero))
+            sel = jnp.stack(slots, 2).reshape(B, k * cin)
+            out = jax.lax.dot_general(
+                sel, w.reshape(k * cin, cout), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return c, out
+
+        _, outs = jax.lax.scan(step, 0, (starts, local, hasb, exb, pob))
+        return outs.reshape(nb * B, cout)[:n_out]
+
+    return jax.lax.cond(exact, banded, lambda: _flat_apply(x, nbr, w))
 
 
 def _apply(x, nbr, w, z_adjacent: bool = False):
-    """Pick the gather strategy by modeled gather cost:
+    """Pick the strategy from the measured decision table
+    (scripts_dev/proto_banded.py timings at bench shapes on TPU v5e, bf16):
 
-    - flat:      K narrow gathers of Cin-wide input rows, one GEMM
-    - mul-first: one GEMM, then K narrow gathers of Cout-wide product rows
-                 (wins when Cout < Cin)
-    - z-window:  K/kz wide gathers of kz·Cin-wide windows (needs the map's
-                 z-adjacency; wins when the per-row floor dominates)
+    - cin == 1 (training conv1): z-window — tiny-row gathers win outright
+    - cin <= 32 and z-adjacent: banded one-hot GEMM (gather-free selection;
+      flat 5.3 -> 4.1 ms at 27x40960, 26.9 -> 11.8 ms at k5)
+    - cout < cin: mul-first (one GEMM then Cout-narrow gathers)
+    - else: flat. Wide z-window gathers (kz*cin > 128 lanes) hit an XLA
+      multi-tile slow path (measured 26 ms vs flat 6.8 at 64ch) — never
+      chosen anymore except via the cin==1 rule.
     """
-    n_out, k = nbr.shape
     cin, cout = w.shape[1], w.shape[2]
-    kz = _kz_of(k)
-    b = x.dtype.itemsize
-    cost = {"flat": _gather_ns(n_out * k, cin * b)}
-    if cout < cin:
-        cost["mul_first"] = _gather_ns(n_out * k, cout * b)
+    kz = _kz_of(nbr.shape[1])
     if z_adjacent and kz >= 3:
-        cost["zwin"] = _gather_ns(n_out * (k // kz), kz * cin * b)
-    best = min(cost, key=cost.get)
-    if best == "zwin":
-        return _z3_apply(x, nbr, w, kz)
-    if best == "mul_first":
+        if cin == 1:
+            return _z3_apply(x, nbr, w, kz)
+        if cin <= 32:
+            return _banded_apply(x, nbr, w, kz)
+    if cout < cin:
         return _mul_first_apply(x, nbr, w)
     return _flat_apply(x, nbr, w)
 
@@ -215,7 +302,9 @@ def _conv_tb_bwd(compute_dtype, z_adjacent, res, dy):
     n_in, cin = feats.shape
     n_out, k = nbr.shape
     kz = _kz_of(k)
-    if z_adjacent and kz >= 3:
+    if z_adjacent and kz >= 3 and cin == 1:
+        # wide z-window gathers (kz*cin > 1 lane tile) hit the XLA
+        # multi-tile slow path — only the cin==1 case wins (see _apply)
         g = _zwin_gather(feats.astype(dt), nbr, kz)          # [N,K,Cin]
     else:
         x_ext = jnp.concatenate(

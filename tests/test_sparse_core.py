@@ -291,6 +291,45 @@ def test_z_window_conv_matches_flat(rng):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_banded_conv_matches_flat_and_falls_back(rng):
+    """_banded_apply (banded one-hot GEMM selection) must match _flat_apply
+    exactly on real pyramid maps; with a deliberately tiny window the
+    in-graph exactness check must trip and the lax.cond fallback must still
+    produce flat-identical results."""
+    from imfnet_tpu.sparse.build import from_numpy
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+    from imfnet_tpu.sparse.ops import _banded_apply, _flat_apply
+
+    from test_models import make_cloud
+
+    coords = np.concatenate([make_cloud(rng, 150, 0, span=8),
+                             make_cloud(rng, 100, 1, span=8)])
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 384)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=5,
+                        level_capacity=(384, 256, 128, 64))
+    lv = pyr.levels
+
+    cases = [
+        ("same-k3", lv[0].k3_same, 384, 3),
+        ("down-k3", lv[1].down, 384, 3),
+        ("up-k3", lv[0].up, 256, 3),
+        ("same-k5", pyr.k5_l0, 384, 5),
+    ]
+    for name, nbr, n_in, kz in cases:
+        k = nbr.shape[1]
+        cin, cout = 6, 10
+        x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32))
+        ref = np.asarray(_flat_apply(x, nbr, w))
+        out = np.asarray(_banded_apply(x, nbr, w, kz, block=64))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+        # window too small for any real block -> exact=False -> fallback
+        out_fb = np.asarray(_banded_apply(x, nbr, w, kz, block=64, width=2))
+        np.testing.assert_allclose(out_fb, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=name + "-fallback")
+
+
 def test_mul_first_matches_flat_bf16(rng):
     """_mul_first_apply rounds each per-offset GEMM partial to the compute
     dtype before the K-way f32 sum; under bf16 that adds up to K rounding
