@@ -1,0 +1,184 @@
+"""Pallas TPU sparse-conv kernel: windowed one-hot selection on the MXU.
+
+The sparse-conv wall on TPU is XLA's per-row gather rate (~3.5 ns/row, worse
+past 128-element rows) — see STATUS.md. The banded XLA path
+(`ops._banded_apply`) replaces gathers with one-hot matmuls but XLA
+materializes the one-hot matrices, the z-widened feature table, and every
+intermediate through HBM, which is why it only wins at cin<=32.
+
+This kernel keeps the whole selection in VMEM:
+
+    for each block of 256 output rows, for each (dx, dy) kernel column:
+      - DMA a contiguous window of input rows  HBM -> VMEM   (maps are
+        rank-monotone in scan order: a 256-row output block reads a
+        bounded window per column, measured ~450-1200 rows)
+      - one-hot = (target_row - window_start == iota)         (VPU, VMEM)
+      - selected = one-hot @ window                           (MXU)
+      - acc += selected @ W[offset]                           (MXU)
+
+No gathers anywhere, no HBM traffic besides the windows (read ~W/B times
+each) and the output. Selection is exact in any dtype (one 1.0 per row).
+
+Reference semantics reproduced: `ME.MinkowskiConvolution` as used at
+`/root/reference/model/resunet.py:42-158` — out[i] = sum_k x[nbr[i,k]] @ W[k]
+with missing neighbors contributing zero.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ncol: int, kz: int, width: int,
+            starts_ref, nbr_ref, x_any, w_ref, out_ref, win, sem):
+    """One grid step = one block of B output rows, all k = ncol*kz offsets.
+
+    starts_ref : SMEM int32[nb, ncol]  per-block per-column window starts
+    nbr_ref    : VMEM int32[B, k]      target input row per offset (-1 none)
+    x_any      : ANY  [n_pad, cin]     full feature table (windows DMA'd)
+    w_ref      : VMEM [k, cin, cout]   weights (compute dtype)
+    out_ref    : VMEM f32[B, cout]
+    win        : VMEM [2, width, cin]  double-buffered window scratch
+    sem        : DMA semaphores (2,)
+    """
+    i = pl.program_id(0)
+    B = nbr_ref.shape[0]
+    cout = w_ref.shape[2]
+    dt = win.dtype
+
+    def dma(slot, col):
+        s = pl.multiple_of(starts_ref[i, col], 8)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
+    acc = jnp.zeros((B, cout), jnp.float32)
+    for col in range(ncol):
+        slot = col % 2
+        if col + 1 < ncol:
+            dma(slot ^ 1, col + 1).start()
+        dma(slot, col).wait()
+        start = starts_ref[i, col]
+        for d in range(kz):
+            j = col * kz + d
+            loc = nbr_ref[:, j:j + 1] - start            # [B,1]; <0 if none
+            oh = (loc == iota).astype(dt)                # [B, width]
+            sel = jnp.dot(oh, win[slot],
+                          preferred_element_type=jnp.float32)   # [B, cin]
+            acc = acc + jnp.dot(sel.astype(dt), w_ref[j],
+                                preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def plan_windows(nbr: jax.Array, kz: int, width: int, n_in: int,
+                 block: int = 256):
+    """Per-block per-column window starts + in-graph exactness check.
+
+    Returns (nbr_padded int32[nb*block, k], starts int32[nb, ncol],
+    exact bool[]). ``exact`` is False when some block's per-column window
+    spread exceeds ``width`` — the kernel's output would be WRONG for those
+    rows, so callers run it under ``lax.cond(exact, ...)`` with a gather
+    fallback (ops._apply). Window starts are 8-row aligned for DMA
+    friendliness, so the effective spread budget is width - 7.
+    """
+    n_out, k = nbr.shape
+    ncol = k // kz
+    assert ncol * kz == k, (k, kz)
+    B = block
+    nb = -(-n_out // B)
+    if nb * B != n_out:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((nb * B - n_out, k), -1, jnp.int32)], 0)
+    t = nbr.reshape(nb, B, ncol, kz)
+    valid = t >= 0
+    big = jnp.int32(1 << 30)
+    tmin = jnp.min(jnp.where(valid, t, big), axis=(1, 3))        # [nb, ncol]
+    tmax = jnp.max(jnp.where(valid, t, -1), axis=(1, 3))
+    has = tmin != big
+    starts = jnp.where(has, jnp.clip(tmin & ~7, 0, n_in), 0)
+    exact = jnp.all(jnp.where(has, tmax - starts < width, True))
+    return nbr, starts, exact
+
+
+def banded_conv_pallas_planned(
+    x: jax.Array,           # [n_in, cin] compute dtype
+    nbr: jax.Array,         # int32[nb*block, k] (from plan_windows)
+    starts: jax.Array,      # int32[nb, ncol]   (from plan_windows)
+    w: jax.Array,           # [k, cin, cout] compute dtype
+    n_out: int,
+    *,
+    kz: int = 3,
+    block: int = 256,
+    width: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """The kernel invocation half of banded_conv_pallas: assumes
+    plan_windows said exact=True (callers guard with lax.cond)."""
+    n_in, cin = x.shape
+    k = nbr.shape[1]
+    cout = w.shape[2]
+    ncol = k // kz
+    B = block
+    nb = nbr.shape[0] // B
+
+    # window DMAs may run past n_in: back the table with `width` zero rows
+    x_pad = jnp.concatenate([x, jnp.zeros((width, cin), x.dtype)], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((B, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, width, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops = 2 * nb * B * k * cin * (width + cout)
+    out = pl.pallas_call(
+        functools.partial(_kernel, ncol, kz, width),
+        out_shape=jax.ShapeDtypeStruct((nb * B, cout), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=nb * ncol * width * cin * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(starts, nbr, x_pad, w)
+    return out[:n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("kz", "block", "width",
+                                             "interpret"))
+def banded_conv_pallas(
+    x: jax.Array,           # [n_in, cin] compute dtype
+    nbr: jax.Array,         # int32[n_out, k], -1 = missing
+    w: jax.Array,           # [k, cin, cout] compute dtype
+    *,
+    kz: int = 3,
+    block: int = 256,
+    width: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """plan_windows + kernel in one call. Returns (out f32[n_out, cout],
+    exact bool[]); out is garbage for overflowing blocks when exact is
+    False — production callers go through ops._apply, which plans first and
+    only runs the kernel under lax.cond(exact)."""
+    n_out = nbr.shape[0]
+    nbr_p, starts, exact = plan_windows(nbr, kz, width, x.shape[0],
+                                        block=block)
+    out = banded_conv_pallas_planned(x, nbr_p, starts, w, n_out, kz=kz,
+                                     block=block, width=width,
+                                     interpret=interpret)
+    return out, exact

@@ -156,6 +156,7 @@ def test_synthetic_loader():
     assert b.image0.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_bucketed_extractor_matches_fixed(setup):
     from imfnet_tpu.eval.extract import make_bucketed_extractor, make_extractor
 

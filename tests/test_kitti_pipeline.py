@@ -63,6 +63,7 @@ def kitti_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_kitti_dataset_and_eval(kitti_root, monkeypatch):
     monkeypatch.setitem(KITTIPairDataset.DATA_FILES, "test",
                         str(kitti_root / "test_list.txt"))

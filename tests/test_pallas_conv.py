@@ -1,0 +1,81 @@
+"""Pallas windowed one-hot conv (sparse/pallas_conv.py) vs the gather-GEMM
+oracle, in interpreter mode on CPU (the kernel itself targets TPU; Mosaic
+semantics are identical)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imfnet_tpu.sparse.pallas_conv import banded_conv_pallas
+
+
+def _oracle(x, nbr, w):
+    n_in, cin = x.shape
+    xe = jnp.concatenate([x, jnp.zeros((1, cin), x.dtype)], 0)
+    idx = jnp.where(nbr >= 0, nbr, n_in)
+    return jnp.einsum("nkc,kcd->nd", jnp.take(xe, idx, 0).astype(jnp.float32),
+                      w.astype(jnp.float32))
+
+
+def _banded_map(rng, n_in, n_out, k, kz, miss=0.25, spread=7):
+    """Rank-monotone-ish map: per column, targets follow the output index
+    with a column-dependent shift — the structure real scan-order kernel
+    maps have (see sparse/grid.py docstring)."""
+    base = np.linspace(0, n_in - 1, n_out).astype(np.int64)
+    nbr = np.full((n_out, k), -1, np.int32)
+    for j in range(k):
+        col = j // kz
+        t = base + (col - (k // kz) // 2) * spread + (j % kz) - kz // 2
+        ok = (t >= 0) & (t < n_in) & (rng.rand(n_out) > miss)
+        nbr[:, j] = np.where(ok, np.clip(t, 0, n_in - 1), -1)
+    return jnp.asarray(nbr)
+
+
+@pytest.mark.parametrize("shape", [
+    (700, 700, 32, 48, 27, 3, 512),    # stride-1-like
+    (900, 300, 64, 32, 27, 3, 1024),   # down-like: a 256-output block spans
+                                       # ~3x more input rows (cf. _band_width)
+    (300, 900, 32, 64, 27, 3, 512),    # up-like
+    (500, 500, 16, 16, 125, 5, 512),   # k5 column layout
+])
+def test_pallas_conv_matches_oracle(shape):
+    n_in, n_out, cin, cout, k, kz, width = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(k, cin, cout) * 0.05).astype(np.float32))
+    nbr = _banded_map(rng, n_in, n_out, k, kz)
+    out, exact = banded_conv_pallas(x, nbr, w, kz=kz, width=width,
+                                    interpret=True)
+    assert bool(exact)
+    ref = _oracle(x, nbr, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_conv_overflow_flag():
+    """A window spread beyond `width` must clear the exact flag (the caller
+    falls back via lax.cond — ops._apply)."""
+    rng = np.random.RandomState(1)
+    n = 600
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(27, 32, 32).astype(np.float32) * 0.05)
+    nbr = np.asarray(_banded_map(rng, n, n, 27, 3)).copy()
+    nbr[0, 0] = 0
+    nbr[1, 0] = n - 1          # spread ~n inside one block
+    _, exact = banded_conv_pallas(x, jnp.asarray(nbr), w, kz=3, width=64,
+                                  interpret=True)
+    assert not bool(exact)
+
+
+def test_pallas_conv_all_missing_rows():
+    """Rows whose neighbors are all -1 (padding rows) come out exactly 0."""
+    rng = np.random.RandomState(2)
+    n = 300
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(27, 32, 32).astype(np.float32) * 0.05)
+    nbr = np.asarray(_banded_map(rng, n, n, 27, 3)).copy()
+    nbr[10] = -1
+    out, exact = banded_conv_pallas(x, jnp.asarray(nbr), w, kz=3, width=512,
+                                    interpret=True)
+    assert bool(exact)
+    assert float(jnp.max(jnp.abs(out[10]))) == 0.0

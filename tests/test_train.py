@@ -108,6 +108,7 @@ def test_compute_correspondences(rng):
     assert (d <= 0.0375 + 1e-5).all()
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_fused_step(rng):
     """iter_size accumulation over identical micro-batches must produce the
     same parameter update as one fused train step (grads are computed at
