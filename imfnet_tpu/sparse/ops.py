@@ -21,6 +21,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from imfnet_tpu.sparse.pallas_conv import (banded_conv_pallas_planned,
+                                           plan_windows)
+
 
 def row_mask(n_padded: int, num_valid: jax.Array) -> jax.Array:
     return jnp.arange(n_padded, dtype=jnp.int32) < num_valid
@@ -245,13 +248,40 @@ def _banded_apply(x, nbr, w, kz: int, block: int = 256,
     return jax.lax.cond(exact, banded, lambda: _flat_apply(x, nbr, w))
 
 
+def _pallas_banded_apply(x, nbr, w, kz: int):
+    """Windowed one-hot selection fully inside a Pallas kernel
+    (sparse/pallas_conv.py): per output block, per (dx, dy) column, DMA one
+    contiguous input window HBM→VMEM and select rows with one-hot matmuls on
+    the MXU — no gathers, no HBM intermediates (the XLA banded path's cost).
+    Measured at bench shapes (proto_pallas_conv.py, TPU v5e, bf16): 32ch
+    6.2→3.1 ms, 64ch 5.1→3.1, 128ch 1.78→1.69, 256ch 1.84→1.77, down
+    3.1→2.6, up 5.0→2.6 vs the previous best XLA strategy.
+
+    Same safety contract as _banded_apply: if any block's per-column window
+    spread exceeds the static width, lax.cond falls back to _flat_apply —
+    a speed penalty, never a correctness one.
+    """
+    n_in = x.shape[0]
+    n_out, k = nbr.shape
+    W = _band_width(n_out, n_in, k)
+    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in)
+    return jax.lax.cond(
+        exact,
+        lambda: banded_conv_pallas_planned(x, nbr_p, starts, w, n_out,
+                                           kz=kz, width=W),
+        lambda: _flat_apply(x, nbr, w))
+
+
 def _apply(x, nbr, w, z_adjacent: bool = False):
     """Pick the strategy from the measured decision table
-    (scripts_dev/proto_banded.py timings at bench shapes on TPU v5e, bf16):
+    (scripts_dev/proto_banded.py + proto_pallas_conv.py timings at bench
+    shapes on TPU v5e, bf16):
 
     - cin == 1 (training conv1): z-window — tiny-row gathers win outright
-    - cin <= 32 and z-adjacent: banded one-hot GEMM (gather-free selection;
-      flat 5.3 -> 4.1 ms at 27x40960, 26.9 -> 11.8 ms at k5)
+    - z-adjacent on TPU: Pallas windowed one-hot conv (gather-free selection
+      in VMEM; beats every XLA strategy at every ResUNet shape — see
+      _pallas_banded_apply)
+    - cin <= 32 and z-adjacent (CPU/interpret): banded one-hot GEMM in XLA
     - cout < cin: mul-first (one GEMM then Cout-narrow gathers)
     - else: flat. Wide z-window gathers (kz*cin > 128 lanes) hit an XLA
       multi-tile slow path (measured 26 ms vs flat 6.8 at 64ch) — never
@@ -262,6 +292,8 @@ def _apply(x, nbr, w, z_adjacent: bool = False):
     if z_adjacent and kz >= 3:
         if cin == 1:
             return _z3_apply(x, nbr, w, kz)
+        if jax.default_backend() == "tpu":
+            return _pallas_banded_apply(x, nbr, w, kz)
         if cin <= 32:
             return _banded_apply(x, nbr, w, kz)
     if cout < cin:

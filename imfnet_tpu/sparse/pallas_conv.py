@@ -34,19 +34,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(ncol: int, kz: int, width: int,
-            starts_ref, nbr_ref, x_any, w_ref, out_ref, win, sem):
+            starts_ref, nbrt_ref, x_any, w_ref, out_ref, win, sem):
     """One grid step = one block of B output rows, all k = ncol*kz offsets.
 
     starts_ref : SMEM int32[nb, ncol]  per-block per-column window starts
-    nbr_ref    : VMEM int32[B, k]      target input row per offset (-1 none)
-    x_any      : ANY  [n_pad, cin]     full feature table (windows DMA'd)
-    w_ref      : VMEM [k, cin, cout]   weights (compute dtype)
+    nbrt_ref   : VMEM int32[k, B]      target input row per offset (-1 none);
+                 TRANSPOSED so per-offset reads are static sublane slices
+                 (lane slices at offset j violate Mosaic's 128-lane tiling)
+    x_any      : ANY  [n_pad, cp]      feature table, lanes padded to 128s
+                 (HBM window DMAs must be 128-aligned on the lane axis)
+    w_ref      : VMEM [k, cp, cout]    weights (compute dtype, cin lane-pad)
     out_ref    : VMEM f32[B, cout]
-    win        : VMEM [2, width, cin]  double-buffered window scratch
+    win        : VMEM [2, width, cp]   double-buffered window scratch
     sem        : DMA semaphores (2,)
     """
     i = pl.program_id(0)
-    B = nbr_ref.shape[0]
+    B = nbrt_ref.shape[1]
     cout = w_ref.shape[2]
     dt = win.dtype
 
@@ -56,7 +59,7 @@ def _kernel(ncol: int, kz: int, width: int,
             x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
 
     dma(0, 0).start()
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
     acc = jnp.zeros((B, cout), jnp.float32)
     for col in range(ncol):
         slot = col % 2
@@ -66,12 +69,15 @@ def _kernel(ncol: int, kz: int, width: int,
         start = starts_ref[i, col]
         for d in range(kz):
             j = col * kz + d
-            loc = nbr_ref[:, j:j + 1] - start            # [B,1]; <0 if none
-            oh = (loc == iota).astype(dt)                # [B, width]
-            sel = jnp.dot(oh, win[slot],
-                          preferred_element_type=jnp.float32)   # [B, cin]
-            acc = acc + jnp.dot(sel.astype(dt), w_ref[j],
-                                preferred_element_type=jnp.float32)
+            loc = nbrt_ref[j:j + 1, :] - start           # [1,B]; <0 if none
+            oh = (iota == loc).astype(dt)                # [width, B]
+            # one 1.0 per column of oh → selection is exact in any dtype
+            sel = jax.lax.dot_general(                   # [B, cp]
+                oh, win[slot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(             # [B, cout]
+                sel.astype(dt), w_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
@@ -126,36 +132,45 @@ def banded_conv_pallas_planned(
     B = block
     nb = nbr.shape[0] // B
 
+    # lane-pad cin to a multiple of 128: HBM window DMAs must be 128-aligned
+    # on the lane axis, and the MXU charges N=128 per matmul tile anyway —
+    # padding costs only window-DMA bytes, never MXU time. Zero feature
+    # lanes x zero weight rows contribute zero, so the math is unchanged.
+    cp = -(-cin // 128) * 128
+    if cp != cin:
+        x = jnp.pad(x, ((0, 0), (0, cp - cin)))
+        w = jnp.pad(w, ((0, 0), (0, cp - cin), (0, 0)))
     # window DMAs may run past n_in: back the table with `width` zero rows
-    x_pad = jnp.concatenate([x, jnp.zeros((width, cin), x.dtype)], 0)
+    x_pad = jnp.concatenate([x, jnp.zeros((width, cp), x.dtype)], 0)
+    nbr_t = nbr.T                                        # [k, nb*B]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((B, k), lambda i, s: (i, 0),
+            pl.BlockSpec((k, B), lambda i, s: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, width, cin), x.dtype),
+            pltpu.VMEM((2, width, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops = 2 * nb * B * k * cin * (width + cout)
+    flops = 2 * nb * B * k * cp * (width + cout)
     out = pl.pallas_call(
         functools.partial(_kernel, ncol, kz, width),
         out_shape=jax.ShapeDtypeStruct((nb * B, cout), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=nb * ncol * width * cin * x.dtype.itemsize,
+            bytes_accessed=nb * ncol * width * cp * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(starts, nbr, x_pad, w)
+    )(starts, nbr_t, x_pad, w)
     return out[:n_out]
 
 

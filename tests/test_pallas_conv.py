@@ -67,6 +67,38 @@ def test_pallas_conv_overflow_flag():
     assert not bool(exact)
 
 
+def test_ops_strategy_routes_through_pallas(monkeypatch):
+    """ops._apply picks the Pallas path on TPU backends; exercise the wiring
+    (plan → lax.cond → kernel) in interpret mode, plus the overflow fallback
+    to _flat_apply."""
+    import functools
+
+    from imfnet_tpu.sparse import ops, pallas_conv
+
+    monkeypatch.setattr(
+        ops, "banded_conv_pallas_planned",
+        functools.partial(pallas_conv.banded_conv_pallas_planned,
+                          interpret=True))
+    monkeypatch.setattr(ops.jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(3)
+    n = 700
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    w = jnp.asarray((rng.randn(27, 32, 48) * 0.05).astype(np.float32))
+    nbr = _banded_map(rng, n, n, 27, 3)
+    out = ops._apply(x, nbr, w, z_adjacent=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_oracle(x, nbr, w)),
+                               rtol=1e-4, atol=1e-4)
+
+    over = np.asarray(nbr).copy()
+    over[0, 0] = 0
+    over[1, 0] = n - 1           # block-0 spread ~n > _band_width → fallback
+    out2 = ops._apply(x, jnp.asarray(over), w, z_adjacent=True)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(_oracle(x, jnp.asarray(over), w)),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_conv_all_missing_rows():
     """Rows whose neighbors are all -1 (padding rows) come out exactly 0."""
     rng = np.random.RandomState(2)
