@@ -67,6 +67,22 @@ def batch_origins(coords: jax.Array, valid: jax.Array, num_batches: int) -> jax.
     return jnp.stack(mins)
 
 
+def origin_lookup(origins: jax.Array, b: jax.Array) -> jax.Array:
+    """Row lookup into the tiny [num_batches, 3] origin table WITHOUT a
+    gather. XLA lowers ``jnp.take(origins, b)`` to a per-row gather —
+    ~13 ns/row at raw-point counts, which made the origin shift the single
+    largest cost of quantize keyprep (8.1 ms of a ~10 ms quantize,
+    scripts_dev/profile_quant3.py). A static select chain over the batch
+    count is pure elementwise VPU work. Semantics match take's index
+    clamping for this table: out-of-range batch (pad rows, PAD_COORD < 0)
+    resolves to origins[0]; such rows are always masked downstream."""
+    num_batches = origins.shape[0]
+    out = jnp.broadcast_to(origins[0], (*b.shape, origins.shape[1]))
+    for i in range(1, num_batches):
+        out = jnp.where((b == i)[..., None], origins[i], out)
+    return out
+
+
 def _cells(coords: jax.Array, level: int) -> jax.Array:
     """Voxel coords → level-l cell indices (arithmetic shift floors)."""
     return coords >> level
@@ -83,7 +99,7 @@ def build_grid(
     X, Y, Z = spec.level_dims(level)
     B = spec.num_batches
     b = jnp.minimum(coords[:, 0], B - 1)
-    o = _cells(jnp.take(origins, jnp.maximum(b, 0), axis=0), level)
+    o = _cells(origin_lookup(origins, jnp.maximum(b, 0)), level)
     c = _cells(coords[:, 1:], level) - o
     in_range = (
         valid
@@ -113,7 +129,7 @@ def grid_lookup(
     X, Y, Z = spec.level_dims(level)
     B = spec.num_batches
     b = jnp.clip(queries[:, 0], 0, B - 1)
-    o = _cells(jnp.take(origins, b, axis=0), level)
+    o = _cells(origin_lookup(origins, b), level)
     qc = queries[:, 1:]
     if check_alignment:
         # transpose-conv queries may be off the coarse lattice → no match
@@ -179,7 +195,7 @@ def _rel_cells(coords: jax.Array, origins: jax.Array, level: int,
                num_batches: int):
     """(b, rel_cell[N,3]) of each row at ``level`` in the halo'd grid."""
     b = jnp.clip(coords[:, 0], 0, num_batches - 1)
-    o = jnp.take(origins, b, axis=0) >> level
+    o = origin_lookup(origins, b) >> level
     c = (coords[:, 1:] >> level) - o + HALO
     return b, c
 
@@ -323,7 +339,7 @@ def packed_offset_map(
         # kept absolute because (a-b)>>1 != (a>>1)-(b>>1) in general
         b = jnp.clip(coords[:, 0], 0, spec.num_batches - 1)
         m = coords[:, 1:] >> (table_level - 1)
-        o_cell = jnp.take(origins, b, axis=0) >> table_level
+        o_cell = origin_lookup(origins, b) >> table_level
         oc_off = HALO
     else:
         b, base = _rel_cells(coords, origins, table_level, spec.num_batches)
@@ -384,6 +400,7 @@ def quantize_grid(
     n_out: int,
     spec: GridSpec,
     batch_index: jax.Array | int = 0,
+    compact_impl: str = "auto",
 ):
     """Sort-free voxel quantization via grid scatter-dedup (first-occurrence
     winner = min row, matching `ME.utils.sparse_quantize` semantics at
@@ -419,7 +436,7 @@ def quantize_grid(
     origins = batch_origins(coords4, valid, spec.num_batches)
 
     bb = jnp.minimum(coords4[:, 0], B - 1)
-    c = coords4[:, 1:] - jnp.take(origins, jnp.maximum(bb, 0), axis=0)
+    c = coords4[:, 1:] - origin_lookup(origins, jnp.maximum(bb, 0))
     in_range = (
         valid
         & (coords4[:, 0] >= 0) & (coords4[:, 0] < B)
@@ -437,6 +454,27 @@ def quantize_grid(
         key = jnp.where(in_range,
                         ((bb * X + c[:, 0]) * Y + c[:, 1]) * Z + c[:, 2], big)
         sh, sr = jax.lax.sort((key, rows), num_keys=1, is_stable=True)
+        # "auto" stays on the XLA tail: the Pallas sorted_compact kernel is
+        # exact but measured SLOWER end-to-end (8.9 vs 6.7 ms quantize at
+        # bench shapes — 256 sequential grid steps with a [B,B] one-hot per
+        # step vs XLA's 2.7 ms compaction scatter; profile_quant3.py). Kept
+        # selectable + tested as the documented alternative.
+        use_pallas = compact_impl == "pallas" and n % 2048 == 0
+        if use_pallas:
+            from imfnet_tpu.sparse.pallas_quant import sorted_compact
+
+            sel_k, n_uniq = sorted_compact(
+                sh, sr, n_out, interpret=compact_impl == "pallas"
+                and jax.default_backend() != "tpu")
+            ok = jnp.arange(n_out, dtype=jnp.int32) < n_uniq
+            sel = jnp.where(ok, sel_k, -1)
+            ss = jnp.where(ok, sel_k, 0)
+            uniq = jnp.where(ok[:, None], jnp.take(coords4, ss, axis=0),
+                             PAD_COORD)
+            f = jnp.where(ok[:, None], jnp.take(feats, ss, axis=0), 0)
+            xyz_down = jnp.where(ok[:, None], jnp.take(xyz, ss, axis=0),
+                                 0.0)
+            return SparseVoxels(uniq, f, n_uniq), sel, xyz_down
         first = (sh != big) & jnp.concatenate(
             [jnp.ones((1,), bool), sh[1:] != sh[:-1]])
     else:

@@ -148,20 +148,22 @@ def _kz_of(k: int) -> int:
     return kz if kz ** 3 == k else 0
 
 
-def _band_width(n_out: int, n_in: int, k: int) -> int:
-    """Static per-block window size for _banded_apply, from measured
-    per-column rank spreads on real 3DMatch fragments at B=256
-    (scripts_dev/profile_band.py): stride-1 k3 p100 ~450, k5 ~600, up maps
-    ~160, down maps ~1170. Underestimates only cost speed (in-graph
-    fallback), never correctness."""
+def _band_plan(n_out: int, n_in: int, k: int) -> tuple[int, int]:
+    """Static (block, width) for the banded convs, from measured per-block
+    rank spreads AND kernel timings on real 3DMatch fragments
+    (scripts_dev/profile_band.py spreads; proto_pallas_sweep.py timings):
+    stride-1 k3 spread p100 ~450 @B=256, k5 ~600; up maps ~210 @B=512;
+    down maps ~720 @B=128 (1170 @B=256). Down wins at B=128/W=1024
+    (2.82 vs 2.96 ms), up at B=512/W=384 (2.88 vs 3.03). A too-small width
+    only costs speed (in-graph fallback), never correctness."""
     if n_out > n_in:
-        return 256                    # transpose up: coarse targets
+        return 512, 384               # transpose up: coarse targets
     if n_out < n_in:
-        return 1536                   # down: fine targets spread ~3x wider
-    return 512 if k <= 27 else 640    # stride-1
+        return 128, 1024              # down: fine targets spread ~3x wider
+    return 256, (512 if k <= 27 else 640)    # stride-1
 
 
-def _banded_apply(x, nbr, w, kz: int, block: int = 256,
+def _banded_apply(x, nbr, w, kz: int, block: int | None = None,
                   width: int | None = None):
     """Banded one-hot GEMM convolution — gather-free selection on the MXU.
 
@@ -182,8 +184,9 @@ def _banded_apply(x, nbr, w, kz: int, block: int = 256,
     n_out, k = nbr.shape
     ncol = k // kz
     cout = w.shape[2]
-    W = _band_width(n_out, n_in, k) if width is None else width
-    B = block
+    plan_b, plan_w = _band_plan(n_out, n_in, k)
+    W = plan_w if width is None else width
+    B = plan_b if block is None else block
     nb = -(-n_out // B)
     if nb * B != n_out:
         nbr_p = jnp.concatenate(
@@ -263,12 +266,12 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     """
     n_in = x.shape[0]
     n_out, k = nbr.shape
-    W = _band_width(n_out, n_in, k)
-    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in)
+    B, W = _band_plan(n_out, n_in, k)
+    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B)
     return jax.lax.cond(
         exact,
         lambda: banded_conv_pallas_planned(x, nbr_p, starts, w, n_out,
-                                           kz=kz, width=W),
+                                           kz=kz, block=B, width=W),
         lambda: _flat_apply(x, nbr, w))
 
 

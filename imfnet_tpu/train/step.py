@@ -145,15 +145,30 @@ def compute_correspondences(batch: PairBatch, search_radius) -> Tuple[jax.Array,
     b0 = jnp.where(v0, batch.coords0[:, 0], 0)
     b1 = jnp.where(v1, batch.coords1[:, 0], 0)
     big = jnp.float32(1e5)
-    T = jnp.take(batch.T_gt, jnp.minimum(b0, batch.T_gt.shape[0] - 1), axis=0)
-    x0 = jnp.einsum("nij,nj->ni", T[:, :3, :3], batch.xyz0) + T[:, :3, 3]
+    # per-batch transform via a static select chain: a per-row
+    # jnp.take(T_gt, b0) gather pays the XLA per-row gather rate on every
+    # point (see sparse.grid.origin_lookup); num_batches matmuls + selects
+    # are pure MXU/VPU work
+    nb = batch.T_gt.shape[0]
+    bc = jnp.minimum(b0, nb - 1)
+    x0 = None
+    for i in range(nb):
+        Ti = batch.T_gt[i]
+        xi = batch.xyz0 @ Ti[:3, :3].T + Ti[:3, 3]
+        x0 = xi if x0 is None else jnp.where((bc == i)[:, None], xi, x0)
     x0 = x0 + (b0 * big)[:, None]
     x1 = batch.xyz1 + (b1 * big)[:, None]
     from imfnet_tpu.match.nn import nn_auto
 
     idx, d2 = nn_auto(x0, x1, v1, block=4096)
     r = jnp.asarray(search_radius, jnp.float32)
-    r0 = r if r.ndim == 0 else jnp.take(r, jnp.minimum(b0, r.shape[0] - 1))
+    if r.ndim == 0:
+        r0 = r
+    else:
+        rc = jnp.minimum(b0, r.shape[0] - 1)
+        r0 = jnp.full(b0.shape, r[0])
+        for i in range(1, r.shape[0]):
+            r0 = jnp.where(rc == i, r[i], r0)
     ok = v0 & (d2 <= r0 * r0)
     pairs = jnp.stack([jnp.arange(n0, dtype=jnp.int32), idx.astype(jnp.int32)], axis=1)
     return pairs, ok
