@@ -33,6 +33,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_merged(ncol: int, kz: int, width: int,
+                   starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win, selbuf,
+                   sem):
+    """Variant of _kernel: stage all k selections into one VMEM buffer and
+    apply the weights with ONE [B, k*cp] @ [k*cp, cout] matmul instead of k
+    accumulated [B, cp] @ [cp, cout] matmuls — k-1 fewer MXU ops per block
+    (small-matmul issue overhead dominates at these sizes).
+
+    wf_ref : VMEM [k*cp, cout]   weights flattened on the host side
+    selbuf : VMEM [B, k*cp]      staged selections (compute dtype)
+    """
+    i = pl.program_id(0)
+    B = nbrt_ref.shape[1]
+    cp = win.shape[2]
+    dt = win.dtype
+
+    def dma(slot, col):
+        s = pl.multiple_of(starts_ref[i, col], 8)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+    for col in range(ncol):
+        slot = col % 2
+        if col + 1 < ncol:
+            dma(slot ^ 1, col + 1).start()
+        dma(slot, col).wait()
+        start = starts_ref[i, col]
+        for d in range(kz):
+            j = col * kz + d
+            loc = nbrt_ref[j:j + 1, :] - start           # [1,B]; <0 if none
+            oh = (iota == loc).astype(dt)                # [width, B]
+            sel = jax.lax.dot_general(                   # [B, cp]
+                oh, win[slot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
+    out_ref[:] = jax.lax.dot_general(                    # [B, cout]
+        selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _kernel(ncol: int, kz: int, width: int,
             starts_ref, nbrt_ref, x_any, w_ref, out_ref, win, sem):
     """One grid step = one block of B output rows, all k = ncol*kz offsets.
@@ -121,6 +163,7 @@ def banded_conv_pallas_planned(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
+    merged: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """The kernel invocation half of banded_conv_pallas: assumes
@@ -144,6 +187,17 @@ def banded_conv_pallas_planned(
     x_pad = jnp.concatenate([x, jnp.zeros((width, cp), x.dtype)], 0)
     nbr_t = nbr.T                                        # [k, nb*B]
 
+    scratch = [
+        pltpu.VMEM((2, width, cp), x.dtype),
+    ]
+    if merged:
+        scratch.append(pltpu.VMEM((B, k * cp), x.dtype))
+        kern = functools.partial(_kernel_merged, ncol, kz, width)
+        w_in = w.reshape(k * cp, cout)
+    else:
+        kern = functools.partial(_kernel, ncol, kz, width)
+        w_in = w
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -155,14 +209,11 @@ def banded_conv_pallas_planned(
         ],
         out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, width, cp), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     flops = 2 * nb * B * k * cp * (width + cout)
     out = pl.pallas_call(
-        functools.partial(_kernel, ncol, kz, width),
+        kern,
         out_shape=jax.ShapeDtypeStruct((nb * B, cout), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -170,12 +221,12 @@ def banded_conv_pallas_planned(
             bytes_accessed=nb * ncol * width * cp * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(starts, nbr_t, x_pad, w)
+    )(starts, nbr_t, x_pad, w_in)
     return out[:n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("kz", "block", "width",
-                                             "interpret"))
+                                             "merged", "interpret"))
 def banded_conv_pallas(
     x: jax.Array,           # [n_in, cin] compute dtype
     nbr: jax.Array,         # int32[n_out, k], -1 = missing
@@ -184,6 +235,7 @@ def banded_conv_pallas(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
+    merged: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """plan_windows + kernel in one call. Returns (out f32[n_out, cout],
@@ -194,6 +246,6 @@ def banded_conv_pallas(
     nbr_p, starts, exact = plan_windows(nbr, kz, width, x.shape[0],
                                         block=block)
     out = banded_conv_pallas_planned(x, nbr_p, starts, w, n_out, kz=kz,
-                                     block=block, width=width,
+                                     block=block, width=width, merged=merged,
                                      interpret=interpret)
     return out, exact
