@@ -242,16 +242,41 @@ def main():
         kp1, kd1 = jnp.take(xyz_down_c, i1, 0), jnp.take(f, i1, 0)
         return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)["rte"]
 
-    stages = {
-        "quantize_ms": timeloop(
-            lambda c: quant_only(xyz_cat + c)[0].feats[0, 0]),
-        "pyramid_ms": timeloop(lambda c: pyramid_fn(
+    # each stage timer consumes ALL of the stage's outputs — a shallow
+    # consumer (one scalar) lets XLA dead-code-eliminate most of the stage
+    # and report a flattered number (measured 2.2 "ms" for a pyramid whose
+    # chained marginal cost was 14 ms, scripts_dev/profile_pair.py)
+    def _consume_sv(sv, xyz_down):
+        return (jnp.sum(sv.coords).astype(jnp.float32) + jnp.sum(sv.feats)
+                + jnp.sum(xyz_down) + sv.num_valid.astype(jnp.float32))
+
+    def _consume_pyr(pyr):
+        tot = jnp.float32(0.0)
+        for lvl in pyr.levels:
+            tot += (jnp.sum(lvl.k3_same) + jnp.sum(lvl.coords)
+                    ).astype(jnp.float32)
+            if lvl.down is not None:
+                tot += jnp.sum(lvl.down).astype(jnp.float32)
+            if lvl.up is not None:
+                tot += jnp.sum(lvl.up).astype(jnp.float32)
+        return tot + jnp.sum(pyr.k5_l0).astype(jnp.float32)
+
+    def _quant_body(c):
+        sv, xyz_down = quant_only(xyz_cat + c)
+        return _consume_sv(sv, xyz_down)
+
+    def _pyr_body(c):
+        pyr = pyramid_fn(
             sv_c.coords,
-            sv_c.num_valid - (c > jnp.float32(1e30)).astype(jnp.int32)
-        ).levels[0].k3_same[0, 0].astype(jnp.float32)),
-        "forward_ms": timeloop(lambda c: model.apply(
+            sv_c.num_valid - (c > jnp.float32(1e30)).astype(jnp.int32))
+        return _consume_pyr(pyr)
+
+    stages = {
+        "quantize_ms": timeloop(_quant_body),
+        "pyramid_ms": timeloop(_pyr_body),
+        "forward_ms": timeloop(lambda c: jnp.sum(model.apply(
             variables, sv_c._replace(feats=sv_c.feats + c), pyr_c, images,
-            train=False)[0, 0]),
+            train=False)).astype(jnp.float32)),
         "match_ms": timeloop(_match_body),
     }
 

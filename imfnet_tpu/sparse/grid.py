@@ -308,6 +308,79 @@ def _window_rows(t4: jax.Array, zrel: jax.Array, zlo_w: jax.Array):
     return exists, row
 
 
+def _offset_columns(
+    origins: jax.Array,
+    coords: jax.Array,    # int32[N,4] query rows (at their own level's lattice)
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+    mode: str,            # 'same' | 'down' | 'up'
+):
+    """Per-(dx, dy)-column query descriptors shared by the packed-gather and
+    banded-match map builders. Yields dicts with:
+      w0     int32[N]  anchor word index (garbage when not ok_xy)
+      zlo_w  int32[N]  anchor z-word
+      ok_xy  bool[N]   column structurally valid
+      dz     list over kernel z-offsets of (zrel int32[N], aligned bool[N])
+    """
+    x_d, y_d, _, zw_d = _packed_dims(spec, table_level)
+    r = kernel_size // 2
+
+    if mode == "up":
+        # m = query coords on the FINE lattice (units of 2^(table_level-1));
+        # kept absolute because (a-b)>>1 != (a>>1)-(b>>1) in general
+        b = jnp.clip(coords[:, 0], 0, spec.num_batches - 1)
+        m = coords[:, 1:] >> (table_level - 1)
+        o_cell = origin_lookup(origins, b) >> table_level
+        oc_off = HALO
+    else:
+        b, base = _rel_cells(coords, origins, table_level, spec.num_batches)
+
+    base_ok = valid
+    if mode != "up":
+        x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
+        base_ok = (
+            valid
+            & (base >= r).all(axis=1)
+            & (base[:, 0] < x_hi - r) & (base[:, 1] < y_hi - r)
+            & (base[:, 2] < zc_hi - r)
+        )
+
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            if mode == "up":
+                cx = ((m[:, 0] + dx) >> 1) - o_cell[:, 0] + oc_off
+                cy = ((m[:, 1] + dy) >> 1) - o_cell[:, 1] + oc_off
+                zlo = ((m[:, 2] - r) >> 1) - o_cell[:, 2] + oc_off
+                x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
+                ok_xy = (
+                    valid
+                    & (cx >= 0) & (cx < x_hi) & (cy >= 0) & (cy < y_hi)
+                    & (zlo >= 0) & (zlo < zc_hi - 1)
+                )
+                ax = ((m[:, 0] + dx) & 1) == 0
+                ay = ((m[:, 1] + dy) & 1) == 0
+            else:
+                cx = base[:, 0] + dx
+                cy = base[:, 1] + dy
+                zlo = base[:, 2] - r
+                ok_xy = base_ok
+            zlo_w = zlo >> 5
+            w0 = ((b * x_d + cx) * y_d + cy) * zw_d + zlo_w
+            dzs = []
+            for dz in range(-r, r + 1):
+                if mode == "up":
+                    zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + oc_off
+                    aligned = ax & ay & (((m[:, 2] + dz) & 1) == 0)
+                else:
+                    zrel = base[:, 2] + dz
+                    aligned = jnp.ones_like(ok_xy)
+                dzs.append((zrel, aligned))
+            yield {"w0": w0, "zlo_w": zlo_w, "ok_xy": ok_xy, "dz": dzs}
+
+
 def packed_offset_map(
     pt: PackedLevel,
     origins: jax.Array,
@@ -330,66 +403,247 @@ def packed_offset_map(
         target coords c + δ·t may be off the coarse lattice — parity decides
         both the cell (floor((m+δ)/2)) and existence (alignment).
     """
-    x_d, y_d, _, zw_d = _packed_dims(spec, table_level)
-    r = kernel_size // 2
     num_w = pt.table.shape[0]
-
-    if mode == "up":
-        # m = query coords on the FINE lattice (units of 2^(table_level-1));
-        # kept absolute because (a-b)>>1 != (a>>1)-(b>>1) in general
-        b = jnp.clip(coords[:, 0], 0, spec.num_batches - 1)
-        m = coords[:, 1:] >> (table_level - 1)
-        o_cell = origin_lookup(origins, b) >> table_level
-        oc_off = HALO
-    else:
-        b, base = _rel_cells(coords, origins, table_level, spec.num_batches)
-
-    base_ok = valid
-    if mode != "up":
-        x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
-        base_ok = (
-            valid
-            & (base >= r).all(axis=1)
-            & (base[:, 0] < x_hi - r) & (base[:, 1] < y_hi - r)
-            & (base[:, 2] < zc_hi - r)
-        )
-
     cols = []
-    for dx in range(-r, r + 1):
-        for dy in range(-r, r + 1):
-            if mode == "up":
-                cx = ((m[:, 0] + dx) >> 1) - o_cell[:, 0] + oc_off
-                cy = ((m[:, 1] + dy) >> 1) - o_cell[:, 1] + oc_off
-                zlo = ((m[:, 2] - r) >> 1) - o_cell[:, 2] + oc_off
-                x_hi, y_hi, zc_hi, _ = _packed_dims(spec, table_level)
-                ok_xy = (
-                    valid
-                    & (cx >= 0) & (cx < x_hi) & (cy >= 0) & (cy < y_hi)
-                    & (zlo >= 0) & (zlo < zc_hi - 1)
-                )
-                ax = ((m[:, 0] + dx) & 1) == 0
-                ay = ((m[:, 1] + dy) & 1) == 0
-            else:
-                cx = base[:, 0] + dx
-                cy = base[:, 1] + dy
-                zlo = base[:, 2] - r
-                ok_xy = base_ok
-            zlo_w = zlo >> 5
-            w0 = ((b * x_d + cx) * y_d + cy) * zw_d + zlo_w
-            w0 = jnp.where(ok_xy, w0, 0)
-            w0 = jnp.clip(w0, 0, num_w - 1)
-            t4 = jnp.take(pt.table, w0, axis=0)
-            for dz in range(-r, r + 1):
-                if mode == "up":
-                    zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + oc_off
-                    aligned = ax & ay & (((m[:, 2] + dz) & 1) == 0)
-                else:
-                    zrel = base[:, 2] + dz
-                    aligned = True
-                exists, row = _window_rows(t4, zrel, zlo_w)
-                ok = ok_xy & exists & aligned
-                cols.append(jnp.where(ok, row, -1))
+    for col in _offset_columns(origins, coords, valid, spec,
+                               table_level=table_level,
+                               kernel_size=kernel_size, mode=mode):
+        w0 = jnp.clip(jnp.where(col["ok_xy"], col["w0"], 0), 0, num_w - 1)
+        t4 = jnp.take(pt.table, w0, axis=0)
+        for zrel, aligned in col["dz"]:
+            exists, row = _window_rows(t4, zrel, col["zlo_w"])
+            ok = col["ok_xy"] & exists & aligned
+            cols.append(jnp.where(ok, row, -1))
     return jnp.stack(cols, axis=1)
+
+
+class CompactWords(NamedTuple):
+    """Sorted occupied z-words of one level table + their 2-word payloads.
+
+    The dense PackedLevel table spans every cell of the static extent
+    (~1.2M words at level 0), so its per-query row gathers pay XLA's
+    slow-large-table gather rate — measured as the dominant pyramid cost
+    (scripts_dev/profile_pair.py: 14 ms of the 19 ms chained
+    quantize+pyramid). This is the COMPACT alternative: only occupied
+    words, sorted by word key, matched by banded window compares instead
+    of gathers (same rank-monotonicity as the banded convs).
+
+    wkeys:     int32[cap]  sorted occupied word keys (pad = 0x7FFFFFFF)
+    payload:   f32[cap, 6] (bits_lo, bits_hi, bits1_lo, bits1_hi, rank,
+               rank1) — integer-valued f32, each < 2^16 / 2^24, so the
+               match's one-hot payload dot is exact at HIGHEST precision
+    n_words:   int32[]
+    sorted_ok: bool[]      word keys nondecreasing (the banded-match
+               precondition; False routes callers to the dense fallback)
+    """
+
+    wkeys: jax.Array
+    payload: jax.Array
+    n_words: jax.Array
+    sorted_ok: jax.Array
+
+
+def compact_words(
+    coords: jax.Array,    # int32[N,4] level table (scan order, unique)
+    valid: jax.Array,
+    origins: jax.Array,
+    spec: GridSpec,
+    level: int,
+) -> CompactWords:
+    """Build the compact sorted word table of one level (no dense grid)."""
+    x_d, y_d, zc_d, zw_d = _packed_dims(spec, level)
+    n = coords.shape[0]
+    b, c = _rel_cells(coords, origins, level, spec.num_batches)
+    in_r = (
+        valid
+        & (c >= 0).all(axis=1)
+        & (c[:, 0] < x_d) & (c[:, 1] < y_d) & (c[:, 2] < zc_d)
+    )
+    WBIG = jnp.int32(0x7FFFFFFF)
+    wkey = ((b * x_d + c[:, 0]) * y_d + c[:, 1]) * zw_d + (c[:, 2] >> 5)
+    wkey = jnp.where(in_r, wkey, WBIG)
+    # scan-ordered rows → word keys nondecreasing (verify, don't trust)
+    sorted_ok = jnp.all(wkey[1:] >= wkey[:-1])
+    first = (wkey != WBIG) & jnp.concatenate(
+        [jnp.ones((1,), bool), wkey[1:] != wkey[:-1]])
+    fi = first.astype(jnp.int32)
+    pos = jnp.cumsum(fi) - fi
+    widx = jnp.cumsum(fi) - 1                 # word slot of each row
+    slot = jnp.where(first, pos, n)
+    rows_i = jnp.arange(n, dtype=jnp.int32)
+    wkeys = jnp.full((n + 1,), WBIG, jnp.int32).at[slot].set(
+        wkey, mode="drop")[:n]
+    # rank of a word = #cells before it in scan order = its first row index
+    rank = jnp.zeros((n + 1,), jnp.int32).at[slot].set(
+        rows_i, mode="drop")[:n]
+    bslot = jnp.where(in_r, jnp.clip(widx, 0, n - 1), n)
+    bit = (c[:, 2] & 31).astype(jnp.uint32)
+    bits = jnp.zeros((n + 1,), jnp.uint32).at[bslot].add(
+        jnp.uint32(1) << bit, mode="drop")[:n]
+    n_words = jnp.sum(fi)
+    pc = jax.lax.population_count(bits).astype(jnp.int32)
+    nxt = jnp.concatenate([wkeys[1:], jnp.full((1,), WBIG, jnp.int32)])
+    same_col = (nxt == wkeys + 1) & (((wkeys + 1) % zw_d) != 0)
+    bits_n = jnp.concatenate([bits[1:], jnp.zeros((1,), jnp.uint32)])
+    rank_n = jnp.concatenate([rank[1:], jnp.zeros((1,), jnp.int32)])
+    bits1 = jnp.where(same_col, bits_n, 0)
+    rank1 = jnp.where(same_col, rank_n, rank + pc)
+
+    def pack6(bits_, bits1_, rank_, rank1_):
+        return jnp.stack([
+            (bits_ & 0xFFFF).astype(jnp.float32),
+            (bits_ >> 16).astype(jnp.float32),
+            (bits1_ & 0xFFFF).astype(jnp.float32),
+            (bits1_ >> 16).astype(jnp.float32),
+            rank_.astype(jnp.float32),
+            rank1_.astype(jnp.float32),
+        ], axis=1)
+
+    # An anchor word w0 may itself be EMPTY while its w0+1 companion is
+    # occupied (the dense table serves those through bits1) — emit a
+    # companion entry at key v-1 for every occupied word v. When v-1 is
+    # itself occupied, or v starts its z-column (its w-1 belongs to another
+    # (x, y) column and must not see v's bits), the companion degrades to a
+    # ZERO-payload duplicate of an existing key: duplicates are benign
+    # because the match's one-hot payload dot SUMS entries, and zeros
+    # change nothing. The interleaved (companion, anchor) sequence stays
+    # nondecreasing, which is all the window matcher needs.
+    valid_w = wkeys != WBIG
+    prev = jnp.concatenate([jnp.full((1,), WBIG, jnp.int32), wkeys[:-1]])
+    prev_occupies = prev == wkeys - 1
+    col_start = (wkeys % zw_d) == 0
+    need_comp = valid_w & ~prev_occupies & ~col_start
+    kb = jnp.where(valid_w, jnp.where(need_comp, wkeys - 1, wkeys), WBIG)
+    zero = jnp.zeros_like(bits)
+    comp_payload = jnp.where(
+        need_comp[:, None],
+        pack6(zero, bits, rank, rank),
+        jnp.zeros((n, 6), jnp.float32))
+    anchor_payload = jnp.where(valid_w[:, None],
+                               pack6(bits, bits1, rank, rank1), 0.0)
+    keys2 = jnp.stack([kb, wkeys], axis=1).reshape(2 * n)
+    payload2 = jnp.stack([comp_payload, anchor_payload],
+                         axis=1).reshape(2 * n, 6)
+    sorted_ok = sorted_ok & jnp.all(keys2[1:] >= keys2[:-1])
+    return CompactWords(keys2, payload2, 2 * n_words, sorted_ok)
+
+
+def _map_plan(mode: str, kernel_size: int) -> Tuple[int, int]:
+    """(block, window) for banded word matching, from measured per-block
+    word-rank spreads on the reference sample pair
+    (scripts_dev/proto_wordmap.py): same-k3 p100 314 @B=256, k5 412,
+    down 873 @B=256, up 286 even @B=1024 (coarse targets). ~1.5x margin;
+    an overflow only costs the in-graph dense fallback, never
+    correctness."""
+    if mode == "up":
+        return 1024, 512
+    if mode == "down":
+        return 256, 1280
+    return 256, (512 if kernel_size <= 3 else 640)
+
+
+def banded_word_t4(wtab: CompactWords, q: jax.Array, block: int, width: int):
+    """Match per-column word queries against the sorted compact word table
+    by banded window compares (no gathers).
+
+    q : int32[N, ncol] anchor word keys per query row and (dx, dy) column;
+        invalid entries < 0 (match nothing).
+
+    Returns (t4 int32[N, ncol, 4] — (bits, bits+1, rank, rank+1) per match,
+    zeros when the word is absent — and exact bool[]). When exact is False
+    some block's window did not cover its query range and t4 is WRONG for
+    those rows; callers fall back to the dense packed path under lax.cond.
+    """
+    n, ncol = q.shape
+    cap = wtab.wkeys.shape[0]
+    B, W = block, min(width, cap)
+    nb = -(-n // B)
+    if nb * B != n:
+        q = jnp.concatenate(
+            [q, jnp.full((nb * B - n, ncol), -2, jnp.int32)], 0)
+    qb = q.reshape(nb, B, ncol)
+    qv = qb >= 0
+    big = jnp.int32(1 << 30)
+    qmin = jnp.min(jnp.where(qv, qb, big), axis=1)        # [nb, ncol]
+    qmax = jnp.max(jnp.where(qv, qb, -1), axis=1)
+    has = qmin != big
+    wk = wtab.wkeys
+    qminf = qmin.reshape(-1)
+    # lower bound / coverage by broadcast counting (table is tiny vs N*k)
+    cnt_lo = jnp.sum((wk[None, :] < qminf[:, None]).astype(jnp.int32), 1)
+    cnt_hi = jnp.sum((wk[None, :] <= qmax.reshape(-1)[:, None]
+                      ).astype(jnp.int32), 1)
+    starts = jnp.where(has.reshape(-1),
+                       jnp.minimum(cnt_lo, jnp.int32(cap - W)), 0)
+    exact = jnp.all(
+        jnp.where(has.reshape(-1), cnt_hi - starts <= W, True)
+    ) & wtab.sorted_ok
+    starts2 = jnp.maximum(starts, 0).reshape(nb, ncol)
+
+    payload = wtab.payload
+
+    def body(carry, inp):
+        st, qblk = inp                       # [ncol], [B, ncol]
+        # ncol window slices, then ONE batched compare + ONE batched dot —
+        # per-op dispatch inside the scan body dominated the per-column
+        # formulation (25 small dots/step made the k5 map slower than the
+        # dense gathers it replaces)
+        win_k = jnp.stack([
+            jax.lax.dynamic_slice(wk, (st[ci],), (W,))
+            for ci in range(ncol)])          # [ncol, W]
+        win_p = jnp.stack([
+            jax.lax.dynamic_slice(payload, (st[ci], 0), (W, 6))
+            for ci in range(ncol)])          # [ncol, W, 6]
+        oh = (win_k[:, :, None] == qblk.T[:, None, :]
+              ).astype(jnp.float32)          # [ncol, W, B]
+        t6 = jax.lax.dot_general(            # [ncol, 6, B], exact one-hots
+            win_p, oh, (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return carry, t6                     # [ncol, 6, B]
+
+    _, t6all = jax.lax.scan(body, 0, (starts2, qb))       # [nb, ncol, 6, B]
+    t6 = t6all.transpose(0, 3, 1, 2).reshape(nb * B, ncol, 6)[:n]
+    bits = t6[..., 0].astype(jnp.int32) | (t6[..., 1].astype(jnp.int32) << 16)
+    bits1 = t6[..., 2].astype(jnp.int32) | (t6[..., 3].astype(jnp.int32) << 16)
+    t4 = jnp.stack([bits, bits1,
+                    t6[..., 4].astype(jnp.int32),
+                    t6[..., 5].astype(jnp.int32)], axis=-1)
+    return t4, exact
+
+
+def banded_offset_map(
+    wtab: CompactWords,
+    origins: jax.Array,
+    coords: jax.Array,
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+    mode: str,
+    block: int | None = None,
+    width: int | None = None,
+):
+    """Gather-free packed_offset_map: identical output contract, plus an
+    in-graph ``exact`` flag (False → run the dense packed path instead)."""
+    cols = list(_offset_columns(origins, coords, valid, spec,
+                                table_level=table_level,
+                                kernel_size=kernel_size, mode=mode))
+    q = jnp.stack(
+        [jnp.where(c["ok_xy"], c["w0"], -2) for c in cols], axis=1)
+    pb, pw = _map_plan(mode, kernel_size)
+    B = pb if block is None else block
+    W = pw if width is None else width
+    t4all, exact = banded_word_t4(wtab, q, B, W)
+    outs = []
+    for ci, col in enumerate(cols):
+        t4 = t4all[:, ci, :]
+        for zrel, aligned in col["dz"]:
+            exists, row = _window_rows(t4, zrel, col["zlo_w"])
+            ok = col["ok_xy"] & exists & aligned
+            outs.append(jnp.where(ok, row, -1))
+    return jnp.stack(outs, axis=1), exact
 
 
 def quantize_grid(
@@ -517,6 +771,7 @@ def build_pyramid_grid(
     num_levels: int = 4,
     conv1_kernel_size: int = 5,
     level_capacity: Sequence[int] | None = None,
+    map_impl: str = "auto",        # per-mode measured choice | banded | packed
 ) -> CoordinatePyramid:
     """Packed-grid pyramid, drop-in for kernel_map.build_pyramid.
 
@@ -561,33 +816,60 @@ def build_pyramid_grid(
         n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), cap)
         tables.append((out[:cap], n_uniq))
 
-    packed = []
+    # Kernel maps: measured per-mode implementation choice (proto_wordmap.py
+    # --tpu, real sample pair). 'up' maps go through the banded word-match —
+    # gather-free window compares against the COMPACT sorted word table —
+    # because their dense-table gathers were the worst pyramid cost (6.4 vs
+    # 2.4 ms standalone at L0). 'same'/'down'/k5 maps stay on the dense
+    # packed gathers: their pack_level build is shared by up to 3 maps per
+    # level and the banded scan's per-block overhead loses at those shapes
+    # (4.6 vs 3.7 ms). Banded maps carry an in-graph exactness flag;
+    # overflowing windows (fragments denser than the measured envelope)
+    # fall back to the dense path for that map only — a speed penalty,
+    # never a correctness one.
+    def _use_banded(mode):
+        if map_impl == "auto":
+            return mode == "up"
+        return map_impl == "banded"
+
+    # build shared tables EAGERLY (outside any lax.cond — a fallback branch
+    # must not be the first tracer of a table another map reuses)
+    packs, wtabs = [], []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
-        packed.append(pack_level(c, v, origins, spec, lvl))
+        packs.append(pack_level(c, v, origins, spec, lvl))
+        need_banded = (_use_banded("up") and 0 < lvl) or _use_banded("same")
+        wtabs.append(compact_words(c, v, origins, spec, lvl)
+                     if need_banded else None)
+
+    def make_map(table_level, c, v, kernel_size, mode):
+        def dense_map():
+            return packed_offset_map(packs[table_level], origins, c, v, spec,
+                                     table_level=table_level,
+                                     kernel_size=kernel_size, mode=mode)
+
+        if not _use_banded(mode) or wtabs[table_level] is None:
+            return dense_map()
+        nbr_b, exact = banded_offset_map(
+            wtabs[table_level], origins, c, v, spec,
+            table_level=table_level, kernel_size=kernel_size, mode=mode)
+        return jax.lax.cond(exact, lambda: nbr_b, dense_map)
 
     levels = []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
-        k3 = packed_offset_map(packed[lvl], origins, c, v, spec,
-                               table_level=lvl, kernel_size=3, mode="same")
+        k3 = make_map(lvl, c, v, 3, "same")
         down = None
         if lvl > 0:
-            down = packed_offset_map(packed[lvl - 1], origins, c, v, spec,
-                                     table_level=lvl - 1, kernel_size=3,
-                                     mode="down")
+            down = make_map(lvl - 1, c, v, 3, "down")
         up = None
         if lvl < num_levels - 1:
-            up = packed_offset_map(packed[lvl + 1], origins, c, v, spec,
-                                   table_level=lvl + 1, kernel_size=3,
-                                   mode="up")
+            up = make_map(lvl + 1, c, v, 3, "up")
         levels.append(LevelMaps(c, n, k3, down, up))
 
     c0, n0v = tables[0]
     v0 = jnp.arange(c0.shape[0]) < n0v
-    k5 = packed_offset_map(packed[0], origins, c0, v0, spec,
-                           table_level=0, kernel_size=conv1_kernel_size,
-                           mode="same")
+    k5 = make_map(0, c0, v0, conv1_kernel_size, "same")
     return CoordinatePyramid(tuple(levels), k5)

@@ -163,7 +163,7 @@ def banded_conv_pallas_planned(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
-    merged: bool = False,
+    merged: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """The kernel invocation half of banded_conv_pallas: assumes
@@ -235,7 +235,7 @@ def banded_conv_pallas(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
-    merged: bool = False,
+    merged: bool = True,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """plan_windows + kernel in one call. Returns (out f32[n_out, cout],

@@ -18,10 +18,12 @@ from imfnet_tpu.train.step import make_pyramid_fn
 
 @pytest.fixture(scope="module")
 def setup():
+    # shapes sized down for compile time: this module fixture alone cost
+    # ~230 s of the default suite at max_points=4096
     config = threedmatch_config(
-        conv1_kernel_size=3, model_n_out=16, max_points=4096,
-        compute_dtype="float32", grid_extent=(128, 128, 128),
-        num_rand_keypoints=512, ransac_max_iteration=2048,
+        conv1_kernel_size=3, model_n_out=16, max_points=2048,
+        compute_dtype="float32", grid_extent=(96, 96, 96),
+        num_rand_keypoints=384, ransac_max_iteration=1024,
     )
     model = load_model(config.model)(
         in_channels=1, out_channels=config.model_n_out,
@@ -29,9 +31,9 @@ def setup():
         compute_dtype=jnp.float32,
     )
     rng = np.random.RandomState(0)
-    pair = synthetic_pair(rng, n_points=3000, voxel_size=config.voxel_size,
-                          extent=1.0, image_hw=(24, 32))
-    n_raw_pad = 8192
+    pair = synthetic_pair(rng, n_points=2000, voxel_size=config.voxel_size,
+                          extent=0.8, image_hw=(24, 32))
+    n_raw_pad = 4096
     raw0, n0 = pad_points(pair.xyz0, n_raw_pad)
     spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
     sv, _, _ = quantize_grid(

@@ -86,7 +86,11 @@ def test_grid_pyramid_matches_search_pyramid(rng):
             assert a == b, (lvl, which)
 
 
+@pytest.mark.slow
 def test_model_forward_same_with_grid_pyramid(rng):
+    # compile-heavy (two full-model compiles, ~5 min on CPU): the per-map
+    # equivalence is covered by test_banded_map + the pyramid structure
+    # tests; this end-to-end variant runs under -m ""
     c0 = make_cloud(rng, 100, 0, span=10)
     c1 = make_cloud(rng, 80, 1, span=10)
     coords = np.concatenate([c0, c1])
