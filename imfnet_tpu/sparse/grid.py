@@ -528,26 +528,58 @@ def compact_words(
     return CompactWords(keys2, payload2, 2 * n_words, sorted_ok)
 
 
-def _map_plan(mode: str, kernel_size: int) -> Tuple[int, int]:
+def _map_plan(mode: str, kernel_size: int,
+              match_impl: str = "scan") -> Tuple[int, int]:
     """(block, window) for banded word matching, from measured per-block
     word-rank spreads on the reference sample pair
     (scripts_dev/proto_wordmap.py): same-k3 p100 314 @B=256, k5 412,
     down 873 @B=256, up 286 even @B=1024 (coarse targets). ~1.5x margin;
     an overflow only costs the in-graph dense fallback, never
-    correctness."""
+    correctness. The pallas matcher 128-aligns window starts DOWN, so it
+    gets one extra 128-lane tile of margin."""
     if mode == "up":
-        return 1024, 512
-    if mode == "down":
-        return 256, 1280
-    return 256, (512 if kernel_size <= 3 else 640)
+        block, win = (1024, 512) if match_impl == "scan" else (256, 512)
+    elif mode == "down":
+        block, win = 256, 1280
+    else:
+        block, win = 256, (512 if kernel_size <= 3 else 640)
+    if match_impl == "pallas":
+        win = -(-(win + 128) // 128) * 128
+    return block, win
 
 
-def banded_word_t4(wtab: CompactWords, q: jax.Array, block: int, width: int):
+def _resolve_match_impl(match_impl: str, cap: int, width: int) -> str:
+    """'auto' → the pallas kernel on TPU backends when the compact table
+    fits its VMEM residency budget, else the XLA scan."""
+    if match_impl != "auto":
+        return match_impl
+    from imfnet_tpu.sparse.pallas_word_map import table_fits_vmem
+    fits = table_fits_vmem(cap, width)
+    return "pallas" if fits and jax.default_backend() == "tpu" else "scan"
+
+
+def _t6_to_t4(t6: jax.Array) -> jax.Array:
+    """Reassemble the (bits, bits+1, rank, rank+1) window from the 16-bit
+    halves carried through the exact one-hot payload dot."""
+    bits = t6[..., 0].astype(jnp.int32) | (t6[..., 1].astype(jnp.int32) << 16)
+    bits1 = t6[..., 2].astype(jnp.int32) | (t6[..., 3].astype(jnp.int32) << 16)
+    return jnp.stack([bits, bits1,
+                      t6[..., 4].astype(jnp.int32),
+                      t6[..., 5].astype(jnp.int32)], axis=-1)
+
+
+def banded_word_t4(wtab: CompactWords, q: jax.Array, block: int, width: int,
+                   match_impl: str = "scan", interpret: bool = False):
     """Match per-column word queries against the sorted compact word table
     by banded window compares (no gathers).
 
     q : int32[N, ncol] anchor word keys per query row and (dx, dy) column;
         invalid entries < 0 (match nothing).
+
+    match_impl 'scan' runs the lax.scan formulation below; 'pallas' runs
+    the VMEM-windowed TPU kernel (`sparse.pallas_word_map`) — same
+    contract, no sequential scan, requires word keys < 2^24 (the kernel
+    compares keys in f32).
 
     Returns (t4 int32[N, ncol, 4] — (bits, bits+1, rank, rank+1) per match,
     zeros when the word is absent — and exact bool[]). When exact is False
@@ -555,6 +587,14 @@ def banded_word_t4(wtab: CompactWords, q: jax.Array, block: int, width: int):
     those rows; callers fall back to the dense packed path under lax.cond.
     """
     n, ncol = q.shape
+    if match_impl == "pallas":
+        from imfnet_tpu.sparse import pallas_word_map as pwm
+        q_pad, starts, exact = pwm.plan_word_windows(
+            wtab.wkeys, q, block, width)
+        t6 = pwm.word_match_planned(
+            wtab.wkeys, wtab.payload, q_pad, starts,
+            block=block, width=width, interpret=interpret)[:n]
+        return _t6_to_t4(t6), exact & wtab.sorted_ok
     cap = wtab.wkeys.shape[0]
     B, W = block, min(width, cap)
     nb = -(-n // B)
@@ -604,12 +644,7 @@ def banded_word_t4(wtab: CompactWords, q: jax.Array, block: int, width: int):
 
     _, t6all = jax.lax.scan(body, 0, (starts2, qb))       # [nb, ncol, 6, B]
     t6 = t6all.transpose(0, 3, 1, 2).reshape(nb * B, ncol, 6)[:n]
-    bits = t6[..., 0].astype(jnp.int32) | (t6[..., 1].astype(jnp.int32) << 16)
-    bits1 = t6[..., 2].astype(jnp.int32) | (t6[..., 3].astype(jnp.int32) << 16)
-    t4 = jnp.stack([bits, bits1,
-                    t6[..., 4].astype(jnp.int32),
-                    t6[..., 5].astype(jnp.int32)], axis=-1)
-    return t4, exact
+    return _t6_to_t4(t6), exact
 
 
 def banded_offset_map(
@@ -624,18 +659,24 @@ def banded_offset_map(
     mode: str,
     block: int | None = None,
     width: int | None = None,
+    match_impl: str = "auto",
+    interpret: bool = False,
 ):
     """Gather-free packed_offset_map: identical output contract, plus an
     in-graph ``exact`` flag (False → run the dense packed path instead)."""
+    _, w_pallas = _map_plan(mode, kernel_size, "pallas")
+    impl = _resolve_match_impl(match_impl, wtab.wkeys.shape[0],
+                               width if width is not None else w_pallas)
     cols = list(_offset_columns(origins, coords, valid, spec,
                                 table_level=table_level,
                                 kernel_size=kernel_size, mode=mode))
     q = jnp.stack(
         [jnp.where(c["ok_xy"], c["w0"], -2) for c in cols], axis=1)
-    pb, pw = _map_plan(mode, kernel_size)
+    pb, pw = _map_plan(mode, kernel_size, impl)
     B = pb if block is None else block
     W = pw if width is None else width
-    t4all, exact = banded_word_t4(wtab, q, B, W)
+    t4all, exact = banded_word_t4(wtab, q, B, W, match_impl=impl,
+                                  interpret=interpret)
     outs = []
     for ci, col in enumerate(cols):
         t4 = t4all[:, ci, :]
@@ -771,7 +812,7 @@ def build_pyramid_grid(
     num_levels: int = 4,
     conv1_kernel_size: int = 5,
     level_capacity: Sequence[int] | None = None,
-    map_impl: str = "auto",        # per-mode measured choice | banded | packed
+    map_impl: str = "auto",        # auto (= packed, measured) | banded | packed
 ) -> CoordinatePyramid:
     """Packed-grid pyramid, drop-in for kernel_map.build_pyramid.
 
@@ -816,20 +857,20 @@ def build_pyramid_grid(
         n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), cap)
         tables.append((out[:cap], n_uniq))
 
-    # Kernel maps: measured per-mode implementation choice (proto_wordmap.py
-    # --tpu, real sample pair). 'up' maps go through the banded word-match —
-    # gather-free window compares against the COMPACT sorted word table —
-    # because their dense-table gathers were the worst pyramid cost (6.4 vs
-    # 2.4 ms standalone at L0). 'same'/'down'/k5 maps stay on the dense
-    # packed gathers: their pack_level build is shared by up to 3 maps per
-    # level and the banded scan's per-block overhead loses at those shapes
-    # (4.6 vs 3.7 ms). Banded maps carry an in-graph exactness flag;
-    # overflowing windows (fragments denser than the measured envelope)
-    # fall back to the dense path for that map only — a speed penalty,
-    # never a correctness one.
+    # Kernel maps: measured CHAINED choice (scripts_dev/profile_map_matrix
+    # .py, real sample pair, quantize+tables+all-11-maps in one jit):
+    # all-packed 17.9 ms beats every banded mix — banded scan-up 18.9,
+    # banded-pallas everywhere 20.6 (19.4 without the lax.cond fallback).
+    # STANDALONE the banded matchers win (pallas k5 5.3 vs packed 6.6,
+    # scan up 2.1 vs 6.2 — and round-1 wired scan-up on that basis), but
+    # chained XLA overlaps the packed gathers with the other maps' compute
+    # while the banded variants pay plan counting, compact_words builds,
+    # and cond/pallas pipeline barriers that don't overlap. The banded
+    # implementations stay selectable (map_impl="banded"; per-map
+    # match_impl in banded_offset_map) and oracle-tested: they carry an
+    # in-graph exactness flag and fall back to the dense path per map —
+    # a speed penalty, never a correctness one.
     def _use_banded(mode):
-        if map_impl == "auto":
-            return mode == "up"
         return map_impl == "banded"
 
     # build shared tables EAGERLY (outside any lax.cond — a fallback branch
@@ -839,9 +880,8 @@ def build_pyramid_grid(
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
         packs.append(pack_level(c, v, origins, spec, lvl))
-        need_banded = (_use_banded("up") and 0 < lvl) or _use_banded("same")
         wtabs.append(compact_words(c, v, origins, spec, lvl)
-                     if need_banded else None)
+                     if _use_banded("same") else None)
 
     def make_map(table_level, c, v, kernel_size, mode):
         def dense_map():
@@ -856,11 +896,29 @@ def build_pyramid_grid(
             table_level=table_level, kernel_size=kernel_size, mode=mode)
         return jax.lax.cond(exact, lambda: nbr_b, dense_map)
 
+    # the level-0 k3 'same' map is a strict COLUMN SUBSET of the k5 map
+    # (inner 3³ of the 5³ offsets, both in itertools.product order, and
+    # HALO=2 makes the r=1/r=2 validity masks identical for in-extent
+    # queries) — so once conv1's k5 map exists, k3@L0 is free indexing
+    # instead of 9 more gather columns
+    c0, n0v = tables[0]
+    v0 = jnp.arange(c0.shape[0]) < n0v
+    k5 = make_map(0, c0, v0, conv1_kernel_size, "same")
+    if conv1_kernel_size == 3:
+        k3_l0 = k5
+    elif conv1_kernel_size == 5:
+        inner = [((dx + 2) * 5 + (dy + 2)) * 5 + (dz + 2)
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                 for dz in (-1, 0, 1)]
+        k3_l0 = k5[:, jnp.asarray(inner)]
+    else:
+        k3_l0 = make_map(0, c0, v0, 3, "same")
+
     levels = []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
-        k3 = make_map(lvl, c, v, 3, "same")
+        k3 = k3_l0 if lvl == 0 else make_map(lvl, c, v, 3, "same")
         down = None
         if lvl > 0:
             down = make_map(lvl - 1, c, v, 3, "down")
@@ -869,7 +927,4 @@ def build_pyramid_grid(
             up = make_map(lvl + 1, c, v, 3, "up")
         levels.append(LevelMaps(c, n, k3, down, up))
 
-    c0, n0v = tables[0]
-    v0 = jnp.arange(c0.shape[0]) < n0v
-    k5 = make_map(0, c0, v0, conv1_kernel_size, "same")
     return CoordinatePyramid(tuple(levels), k5)

@@ -118,11 +118,15 @@ def main():
             qv = jnp.arange(qc.shape[0]) < qn
             wt = wtabs[tab_lvl]
 
-            def banded(c, qc=qc, qv=qv, wt=wt, tl=tab_lvl, k=kernel, m=mode):
+            def banded(c, qc=qc, qv=qv, wt=wt, tl=tab_lvl, k=kernel, m=mode,
+                       impl="scan"):
                 nbr, exact = banded_offset_map(
                     wt, origins, qc + c.astype(jnp.int32) * 0, qv, spec,
-                    table_level=tl, kernel_size=k, mode=m)
+                    table_level=tl, kernel_size=k, mode=m, match_impl=impl)
                 return (jnp.sum(nbr) + exact).astype(jnp.float32)
+
+            def banded_pl(c, banded=banded):
+                return banded(c, impl="pallas")
 
             def packed(c, qc=qc, qv=qv, tc=tables[tab_lvl][0],
                        tn=tables[tab_lvl][1], tl=tab_lvl, k=kernel, m=mode):
@@ -135,7 +139,8 @@ def main():
                 return jnp.sum(nbr).astype(jnp.float32)
 
             tag = f"tab_l{tab_lvl} q_l{q_lvl} k{kernel} {mode}"
-            timeloop(f"banded {tag}", banded)
+            timeloop(f"banded-scan {tag}", banded)
+            timeloop(f"banded-pallas {tag}", banded_pl)
             timeloop(f"packed {tag} (incl pack_level)", packed)
 
 

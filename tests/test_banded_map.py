@@ -75,6 +75,64 @@ def test_banded_matches_packed(rng, lvl, kernel, mode):
     np.testing.assert_array_equal(np.asarray(nbr_ref), np.asarray(nbr_b))
 
 
+@pytest.mark.parametrize("lvl,kernel,mode", [
+    (0, 3, "same"), (0, 5, "same"),
+    (0, 3, "down"),
+    (1, 3, "up"),
+])
+def test_pallas_matcher_matches_packed(rng, lvl, kernel, mode):
+    """The Pallas VMEM-window matcher must reproduce the dense maps
+    whenever it reports exact=True (interpret mode; the MXU HIGHEST
+    precision path is exercised on-chip by scripts_dev/proto_wordmap)."""
+    tab, n_t = _make_table(rng, 512, lvl, 200)
+    tv = jnp.arange(512) < n_t
+    if mode == "same":
+        qc, n_q, qv = tab, n_t, tv
+    elif mode == "down":
+        qc, n_q = _make_table(rng, 256, lvl + 1, 80)
+        qv = jnp.arange(256) < n_q
+    else:
+        qc, n_q = _make_table(rng, 1024, lvl - 1, 400)
+        qv = jnp.arange(1024) < n_q
+    allc = jnp.concatenate([tab, qc]) if mode != "same" else tab
+    allv = jnp.concatenate([tv, qv]) if mode != "same" else tv
+    origins = batch_origins(allc, allv, 2)
+
+    pt = pack_level(tab, tv, origins, SPEC, lvl)
+    nbr_ref = packed_offset_map(pt, origins, qc, qv, SPEC,
+                                table_level=lvl, kernel_size=kernel,
+                                mode=mode)
+    wt = compact_words(tab, tv, origins, SPEC, lvl)
+    # full-table window → exactness guaranteed (see note above on why
+    # uniform-random tables need it)
+    w = -(-wt.wkeys.shape[0] // 128) * 128
+    nbr_b, exact = banded_offset_map(wt, origins, qc, qv, SPEC,
+                                     table_level=lvl, kernel_size=kernel,
+                                     mode=mode, width=w, block=128,
+                                     match_impl="pallas", interpret=True)
+    assert bool(exact)
+    np.testing.assert_array_equal(np.asarray(nbr_ref), np.asarray(nbr_b))
+
+
+def test_pallas_exact_flag_safe(rng):
+    """Undersized Pallas windows must report exact=False, and 128-aligned
+    starts must not break coverage accounting."""
+    tab, n_t = _make_table(rng, 1024, 0, 400)
+    tv = jnp.arange(1024) < n_t
+    origins = batch_origins(tab, tv, 2)
+    wt = compact_words(tab, tv, origins, SPEC, 0)
+    pt = pack_level(tab, tv, origins, SPEC, 0)
+    nbr_ref = packed_offset_map(pt, origins, tab, tv, SPEC,
+                                table_level=0, kernel_size=3, mode="same")
+    nbr_b, exact = banded_offset_map(wt, origins, tab, tv, SPEC,
+                                     table_level=0, kernel_size=3,
+                                     mode="same", block=256, width=128,
+                                     match_impl="pallas", interpret=True)
+    if bool(exact):
+        np.testing.assert_array_equal(np.asarray(nbr_ref),
+                                      np.asarray(nbr_b))
+
+
 def test_exact_flag_safe(rng):
     """With undersized windows the flag must be False (never silently
     wrong results)."""
