@@ -154,9 +154,13 @@ def test_exact_flag_safe(rng):
             or True  # flag False is itself the pass condition
 
 
+@pytest.mark.slow
 def test_pyramid_banded_vs_packed(rng):
     """Full pyramid: the banded default (with its in-graph fallback) must
-    reproduce the packed pyramid exactly — maps, tables, counts."""
+    reproduce the packed pyramid exactly — maps, tables, counts.
+
+    slow: compiles two full 4-level pyramids (~60 s); the per-map oracle
+    tests above cover the same matcher code paths at small shapes."""
     tab, n_t = _make_table(rng, 2048, 0, 700)
     pyr_b = build_pyramid_grid(tab, jnp.int32(n_t), spec=SPEC,
                                map_impl="banded")
