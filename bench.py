@@ -94,8 +94,17 @@ def main():
     # Both fragments run as ONE 2-batch program: one voxelize (batch column
     # keeps fragments apart), one coordinate pyramid, one model forward with
     # images [2,H,W,3] — shared dispatch + better MXU utilization than two
-    # B=1 extracts. Probe the voxel counts once to pick the shape bucket.
-    spec = GridSpec(extent=tuple(config.grid_extent), num_batches=2)
+    # B=1 extracts. Probe the voxel counts once to pick the shape bucket,
+    # and each fragment's voxel span to pick the extent bucket (smaller
+    # static extents → smaller packed tables → cheaper pyramid).
+    from imfnet_tpu.eval.extract import pick_extent
+
+    ext0 = pick_extent(xyz0_raw, n0_raw, config.voxel_size, config)
+    ext1 = pick_extent(xyz1_raw, n1_raw, config.voxel_size, config)
+    extent = (tuple(config.grid_extent) if ext0 is None or ext1 is None
+              else max(ext0, ext1))
+    print(f"# bench extent bucket: {extent}", file=sys.stderr)
+    spec = GridSpec(extent=extent, num_batches=2)
     xyz_cat = np.concatenate([xyz0_raw, xyz1_raw])          # [2*N_RAW, 3]
     bidx = np.repeat(np.array([0, 1], np.int32), N_RAW)
     n_cat_valid = np.zeros(2 * N_RAW, bool)
@@ -121,7 +130,8 @@ def main():
     print(f"# bench bucket: {counts.tolist()} voxels -> 2-batch pad {N_PAD2}",
           file=sys.stderr)
     caps = level_capacities(N_PAD2, tuple(config.level_capacity_divisors))
-    pyramid_fn = make_pyramid_fn(config, N_PAD2, num_batches=2)
+    pyramid_fn = make_pyramid_fn(config, N_PAD2, num_batches=2,
+                                 extent=extent)
 
     @jax.jit
     def extract_pair(xyz):

@@ -101,6 +101,17 @@ class Config:
     # voxel cells per fragment; fragments outside fall back to binary search.
     use_grid_maps: bool = True
     grid_extent: Tuple[int, int, int] = (256, 256, 256)
+    # Additional SMALLER extent fast-paths for EXTRACTION: the extractor
+    # probes each fragment's voxel span host-side and runs the smallest
+    # extent bucket that holds it. grid_extent stays the ceiling (beyond
+    # it → exact binary-search path); entries >= grid_extent are ignored
+    # (eval.extract.extent_buckets). Training always uses grid_extent.
+    # Default None (single bucket): 128³ measured FASTER in isolation
+    # (quantize+pyramid 12.8 vs 16.3 ms) but SLOWER end-to-end on the
+    # bench chain (28.7 vs 29.9 pairs/s — its level-0 packed table lands
+    # at 174k words, the pessimal row-gather size on v5e, paid by all 25
+    # k5 columns). Opt in per dataset only with a chained measurement.
+    grid_extent_buckets: Optional[Tuple[Tuple[int, int, int], ...]] = None
     # Static per-UNet-level row capacities: level i holds max_points //
     # divisor[i]. Surface data shrinks ~3.4x per stride-2; (1,2,4,8) is the
     # safe default, (1,3,8,20) fits 3DMatch fragments with margin.
@@ -149,6 +160,9 @@ def kitti_config(**overrides) -> Config:
         out_dir="outputs_kitti",
         max_points=131072,
         grid_extent=(704, 704, 128),
+        # velodyne scans span most of the static range — a half-extent
+        # bucket would almost never fit, so don't pay its compiles
+        grid_extent_buckets=None,
         # velodyne scans are thin and sparse: coarse levels shrink far more
         # slowly than indoor surface data, so per-level capacities must stay
         # generous (overflow silently drops coarse voxels)

@@ -47,22 +47,55 @@ def _span_fits_grid(xyz_raw, n_raw, voxel_size: float, extent) -> bool:
     return bool((span <= np.asarray(extent)).all())
 
 
+def pick_extent(xyz_raw, n_raw, voxel_size: float, config: Config):
+    """Smallest configured extent bucket that holds the fragment's voxel
+    span (config.grid_extent_buckets, smallest-first), or None for the
+    exact binary-search path. Smaller static extents mean smaller packed
+    tables — a measured 12.8 vs 16.3 ms quantize+pyramid at 128³ vs 256³
+    (scripts_dev/profile_pyr_chain.py) — and the probe is a host-side
+    min/max over the raw points."""
+    if not config.use_grid_maps:
+        return None
+    for ext in extent_buckets(config):
+        if _span_fits_grid(xyz_raw, n_raw, voxel_size, ext):
+            return ext
+    logging.warning(
+        "fragment voxel span exceeds grid_extent %s; using the exact"
+        " binary-search pyramid (no points dropped)",
+        tuple(config.grid_extent))
+    return None
+
+
+def extent_buckets(config: Config):
+    """Effective extent buckets, smallest-first. config.grid_extent stays
+    the authoritative ceiling (fragments beyond it go to the exact path);
+    grid_extent_buckets only adds SMALLER fast-path extents — entries at
+    or above grid_extent are dropped so configs that shrink grid_extent
+    (tests, custom datasets) keep their fallback semantics."""
+    ge = tuple(config.grid_extent)
+    eff = [tuple(b) for b in (config.grid_extent_buckets or ())
+           if all(x <= y for x, y in zip(b, ge)) and tuple(b) != ge]
+    return eff + [ge]
+
+
 def make_extractor(model, variables, *, config: Config, n_pad: int,
                    voxel_size: float | None = None):
     """Returns extract(xyz_raw[nraw,3], n_raw, image[1,H,W,3]) →
     (xyz_down[n_pad,3], feats[n_pad,C], num_valid).
 
-    Host wrapper over two jitted variants: the dense-grid fast path and the
-    exact binary-search path for fragments that exceed the grid extent."""
+    Host wrapper over jitted variants keyed by extent bucket: the
+    dense-grid fast path at the smallest fitting extent, and the exact
+    binary-search path for fragments that exceed every bucket."""
     vox = voxel_size if voxel_size is not None else config.voxel_size
 
-    def build(use_grid: bool):
+    def build(extent):
         pyramid_fn = make_pyramid_fn(config, n_pad, num_batches=1,
-                                     use_grid=use_grid)
-        if use_grid:
+                                     use_grid=extent is not None,
+                                     extent=extent)
+        if extent is not None:
             from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-            spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+            spec = GridSpec(extent=extent, num_batches=1)
 
             def quantize_fn(x, f, valid):
                 return quantize_grid(x, f, valid, vox, n_pad, spec)
@@ -84,16 +117,10 @@ def make_extractor(model, variables, *, config: Config, n_pad: int,
     variants = {}
 
     def extract(xyz_raw, n_raw, image):
-        use_grid = config.use_grid_maps and _span_fits_grid(
-            xyz_raw, n_raw, vox, config.grid_extent)
-        if config.use_grid_maps and not use_grid:
-            logging.warning(
-                "fragment voxel span exceeds grid_extent %s; using the exact"
-                " binary-search pyramid (no points dropped)",
-                tuple(config.grid_extent))
-        if use_grid not in variants:
-            variants[use_grid] = build(use_grid)
-        return variants[use_grid](xyz_raw, n_raw, image)
+        extent = pick_extent(xyz_raw, n_raw, vox, config)
+        if extent not in variants:
+            variants[extent] = build(extent)
+        return variants[extent](xyz_raw, n_raw, image)
 
     return extract
 
@@ -122,11 +149,11 @@ def make_bucketed_extractor(model, variables, *, config: Config,
     vox = voxel_size if voxel_size is not None else config.voxel_size
     n_max = buckets[-1]
 
-    def build_quantize(use_grid: bool):
-        if use_grid:
+    def build_quantize(extent):
+        if extent is not None:
             from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
 
-            spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
+            spec = GridSpec(extent=extent, num_batches=1)
 
             @jax.jit
             def quantize_max(xyz_raw, n_raw):
@@ -149,11 +176,12 @@ def make_bucketed_extractor(model, variables, *, config: Config,
     quantize_by_path = {}
     forward_by_bucket = {}
 
-    def forward_for(bucket: int, use_grid: bool):
-        key = (bucket, use_grid)
+    def forward_for(bucket: int, extent):
+        key = (bucket, extent)
         if key not in forward_by_bucket:
             pyramid_fn = make_pyramid_fn(config, bucket, num_batches=1,
-                                         use_grid=use_grid)
+                                         use_grid=extent is not None,
+                                         extent=extent)
 
             @jax.jit
             def fwd(coords, feats_in, n, image):
@@ -167,19 +195,13 @@ def make_bucketed_extractor(model, variables, *, config: Config,
         return forward_by_bucket[key]
 
     def extract(xyz_raw, n_raw, image):
-        use_grid = config.use_grid_maps and _span_fits_grid(
-            xyz_raw, n_raw, vox, config.grid_extent)
-        if config.use_grid_maps and not use_grid:
-            logging.warning(
-                "fragment voxel span exceeds grid_extent %s; using the exact"
-                " binary-search pyramid (no points dropped)",
-                tuple(config.grid_extent))
-        if use_grid not in quantize_by_path:
-            quantize_by_path[use_grid] = build_quantize(use_grid)
-        sv, xyz_down = quantize_by_path[use_grid](jnp.asarray(xyz_raw), n_raw)
+        extent = pick_extent(xyz_raw, n_raw, vox, config)
+        if extent not in quantize_by_path:
+            quantize_by_path[extent] = build_quantize(extent)
+        sv, xyz_down = quantize_by_path[extent](jnp.asarray(xyz_raw), n_raw)
         n = int(sv.num_valid)
         bucket = next((b for b in buckets if b >= n), n_max)
-        fwd = forward_for(bucket, use_grid)
+        fwd = forward_for(bucket, extent)
         feats = fwd(sv.coords[:bucket], sv.feats[:bucket],
                     jnp.minimum(sv.num_valid, bucket), image)
         return np.asarray(xyz_down)[:n], np.asarray(feats)[:n]

@@ -67,19 +67,26 @@ LOSS_FNS = {
 
 
 def make_pyramid_fn(config: Config, n_pad: int, num_batches: int,
-                    use_grid: bool | None = None):
+                    use_grid: bool | None = None,
+                    extent: Tuple[int, int, int] | None = None):
     """Coordinate-pyramid builder per config: dense-grid index (fast path,
     imfnet_tpu.sparse.grid) or exact binary search fallback. ``use_grid``
     overrides config.use_grid_maps (the extractor routes fragments whose
     span exceeds the static grid extent to the exact path — see
-    sparse.grid.fits_grid)."""
+    sparse.grid.fits_grid). ``extent`` overrides config.grid_extent: the
+    extractor passes the smallest configured extent bucket that holds the
+    fragment's probed span (config.grid_extent_buckets) — smaller static
+    extents mean smaller packed tables and a cheaper pyramid."""
     caps = level_capacities(n_pad, tuple(config.level_capacity_divisors))
     if use_grid is None:
         use_grid = config.use_grid_maps
     if use_grid:
         from imfnet_tpu.sparse.grid import GridSpec, build_pyramid_grid
 
-        spec = GridSpec(extent=tuple(config.grid_extent), num_batches=num_batches)
+        spec = GridSpec(
+            extent=tuple(extent if extent is not None
+                         else config.grid_extent),
+            num_batches=num_batches)
 
         def fn(coords, n):
             return build_pyramid_grid(

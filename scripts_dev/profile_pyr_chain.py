@@ -28,7 +28,10 @@ def main():
     xyz0, xyz1, _, _, _ = B.load_pair(config)
     xyz0_raw, n0 = pad_points(xyz0, N_RAW)
     xyz1_raw, n1 = pad_points(xyz1, N_RAW)
-    spec = GridSpec(extent=tuple(config.grid_extent), num_batches=2)
+    ext = (int(sys.argv[1]),) * 3 if len(sys.argv) > 1 \
+        else tuple(config.grid_extent)
+    print(f"# grid extent {ext}", flush=True)
+    spec = GridSpec(extent=ext, num_batches=2)
     xyz_cat = jnp.asarray(np.concatenate([xyz0_raw, xyz1_raw]))
     bidx = jnp.asarray(np.repeat(np.array([0, 1], np.int32), N_RAW))
     vm = np.zeros(2 * N_RAW, bool)

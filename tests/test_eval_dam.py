@@ -187,12 +187,15 @@ def test_oversized_fragment_falls_back_to_exact_pyramid(setup):
     from imfnet_tpu.eval.extract import make_bucketed_extractor
 
     config, model, variables, pair, n_raw_pad, *_ = setup
-    assert config.use_grid_maps and config.grid_extent == (128, 128, 128)
+    assert config.use_grid_maps
     bucketed = make_bucketed_extractor(
         model, variables, config=config,
         buckets=(1024, 2048, config.max_points))
-    # stretch the cloud far beyond the 128-cell extent (128*0.025 = 3.2 m)
+    # stretch the cloud far beyond the static extent (96*0.025 = 2.4 m)
     wide = pair.xyz0 * 6.0
+    assert not all(s <= e for s, e in zip(
+        np.ptp(np.floor(wide / config.voxel_size), axis=0) + 1,
+        config.grid_extent))
     raw0, n0 = pad_points(wide, n_raw_pad)
     img = jnp.zeros((1, 24, 32, 3), jnp.float32)
     xd_b, f_b = bucketed(raw0, n0, img)
@@ -219,3 +222,54 @@ def test_oversized_training_sample_fails_loudly():
                         grid_extent=config.grid_extent)
     with pytest.raises(RuntimeError, match="grid_extent"):
         list(loader)
+
+
+def test_extent_bucket_selection():
+    """Host-side extent-bucket policy: smallest fitting bucket wins,
+    grid_extent stays the authoritative ceiling (buckets at/above it are
+    ignored), and spans beyond grid_extent route to the exact path."""
+    from imfnet_tpu.eval.extract import extent_buckets, pick_extent
+
+    config = threedmatch_config(
+        grid_extent=(96, 96, 96),
+        grid_extent_buckets=((48, 48, 48), (128, 128, 128)))
+    # the 128 bucket exceeds grid_extent and must be dropped
+    assert extent_buckets(config) == [(48, 48, 48), (96, 96, 96)]
+
+    vox = config.voxel_size
+    small = np.random.RandomState(0).rand(100, 3).astype(np.float32) * (
+        40 * vox)
+    assert pick_extent(small, 100, vox, config) == (48, 48, 48)
+    mid = small * 1.8          # ~72 cells: over 48, fits 96
+    assert pick_extent(mid, 100, vox, config) == (96, 96, 96)
+    wide = small * 3.0         # ~120 cells: beyond grid_extent
+    assert pick_extent(wide, 100, vox, config) is None
+    assert pick_extent(
+        wide, 100, vox, config.replace(use_grid_maps=False)) is None
+
+
+@pytest.mark.slow
+def test_extractor_extent_buckets_match(setup):
+    """Descriptors must be identical whichever extent bucket runs the
+    pyramid: a small cloud extracted through a (64³, 96³)-bucketed config
+    (picks 64³) must reproduce the single-96³-bucket output exactly."""
+    from imfnet_tpu.eval.extract import make_extractor
+
+    config, model, variables, pair, n_raw_pad, *_ = setup
+    cfg_small = config.replace(grid_extent_buckets=((64, 64, 64),))
+    cfg_one = config.replace(grid_extent_buckets=None)
+    ex_small = make_extractor(model, variables, config=cfg_small,
+                              n_pad=config.max_points)
+    ex_one = make_extractor(model, variables, config=cfg_one,
+                            n_pad=config.max_points)
+    raw0, n0 = pad_points(pair.xyz0, n_raw_pad)
+    # the synthetic pair spans ~57 cells: fits the 64-cell bucket
+    from imfnet_tpu.eval.extract import pick_extent
+    assert pick_extent(raw0, n0, config.voxel_size, cfg_small) == (64,) * 3
+    img = jnp.zeros((1, 24, 32, 3), jnp.float32)
+    xd_s, f_s, n_s = ex_small(jnp.asarray(raw0), n0, img)
+    xd_o, f_o, n_o = ex_one(jnp.asarray(raw0), n0, img)
+    assert int(n_s) == int(n_o)
+    np.testing.assert_array_equal(np.asarray(xd_s), np.asarray(xd_o))
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_o),
+                               rtol=1e-5, atol=1e-6)
