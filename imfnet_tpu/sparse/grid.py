@@ -378,7 +378,8 @@ def _offset_columns(
                     zrel = base[:, 2] + dz
                     aligned = jnp.ones_like(ok_xy)
                 dzs.append((zrel, aligned))
-            yield {"w0": w0, "zlo_w": zlo_w, "ok_xy": ok_xy, "dz": dzs}
+            yield {"w0": w0, "zlo_w": zlo_w, "ok_xy": ok_xy, "dz": dzs,
+                   "dxdy": (dx, dy)}
 
 
 def packed_offset_map(
@@ -415,6 +416,226 @@ def packed_offset_map(
             ok = col["ok_xy"] & exists & aligned
             cols.append(jnp.where(ok, row, -1))
     return jnp.stack(cols, axis=1)
+
+
+def widen_y(pt: PackedLevel, r: int) -> jax.Array:
+    """y-widened packed table: wide[w] = concat(table[w + d*Zw], d=-r..r),
+    zero-padded at the table ends (zero bits = absent, so edge junk can never
+    claim a neighbor). Shifting w by one z-word-stride Zw moves one cell in
+    y, so ONE [4*(2r+1)]-int row gather fetches the 2-word z-windows of every
+    dy ∈ [-r, r] — a k³ map then costs k row-gathers instead of k²
+    (`packed_offset_map_ywide`). Row width stays ≤ 128 elements (the
+    measured fast-gather envelope, STATUS.md)."""
+    table = pt.table
+    shift = pt.dims[3]
+    n_w = table.shape[0]
+    parts = []
+    for d in range(-r, r + 1):
+        if d == 0:
+            parts.append(table)
+        elif d < 0:
+            parts.append(jnp.concatenate(
+                [jnp.zeros((-d * shift, 4), jnp.int32),
+                 table[: n_w + d * shift]], axis=0))
+        else:
+            parts.append(jnp.concatenate(
+                [table[d * shift:],
+                 jnp.zeros((d * shift, 4), jnp.int32)], axis=0))
+    return jnp.concatenate(parts, axis=1)
+
+
+def packed_offset_map_ywide(
+    pt: PackedLevel,
+    wide: jax.Array,      # from widen_y(pt, rw) with rw >= kernel_size//2
+    origins: jax.Array,
+    coords: jax.Array,
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+    mode: str,            # 'same' | 'down' | 'up'
+) -> jax.Array:
+    """`packed_offset_map` computed through the y-widened table: one row
+    gather per dx column instead of one per (dx, dy) — k5 pays 5 gathers
+    instead of 25 against the level-0 table (the pipeline's largest).
+    mode='up' goes further: ``(m+dx)>>1`` takes only TWO distinct coarse
+    cells per query across dx ∈ {-1,0,1} (parity decides which), so the
+    whole 3³ map costs 2 gathers + per-offset parity selects instead of 9.
+    Identical output to `packed_offset_map` (oracle-tested)."""
+    if mode == "up":
+        return _ywide_up_map(pt, wide, origins, coords, valid, spec,
+                             table_level=table_level,
+                             kernel_size=kernel_size)
+    x_d, y_d, zc_d, zw_d = pt.dims
+    r = kernel_size // 2
+    ky = 2 * r + 1
+    rw = (wide.shape[1] // 4 - 1) // 2   # widening radius of the wide table
+    assert rw >= r, (rw, r)
+    b, base = _rel_cells(coords, origins, table_level, spec.num_batches)
+    base_ok = (
+        valid
+        & (base >= r).all(axis=1)
+        & (base[:, 0] < x_d - r) & (base[:, 1] < y_d - r)
+        & (base[:, 2] < zc_d - r)
+    )
+    num_w = wide.shape[0]
+    zlo_w = (base[:, 2] - r) >> 5
+    cols = []
+    for dx in range(-r, r + 1):
+        w0 = ((b * x_d + base[:, 0] + dx) * y_d + base[:, 1]) * zw_d + zlo_w
+        w0 = jnp.clip(jnp.where(base_ok, w0, 0), 0, num_w - 1)
+        g = jnp.take(wide, w0, axis=0)                   # [N, 4*(2rw+1)]
+        for dy in range(-r, r + 1):
+            t4 = g[:, 4 * (dy + rw): 4 * (dy + rw) + 4]
+            for dz in range(-r, r + 1):
+                exists, row = _window_rows(t4, base[:, 2] + dz, zlo_w)
+                cols.append(jnp.where(base_ok & exists, row, -1))
+    return jnp.stack(cols, axis=1)
+
+
+def _ywide_up_map(
+    pt: PackedLevel,
+    wide: jax.Array,
+    origins: jax.Array,
+    coords: jax.Array,
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+) -> jax.Array:
+    """mode='up' kernel map in TWO row gathers (vs 9 per-(dx,dy) probes).
+
+    Up-mode targets live on the coarse lattice: cell_x = (m_x+dx)>>1, which
+    for dx ∈ {-1,0,1} takes only the two values (m_x-1)>>1 and (m_x-1)>>1+1
+    (parity decides which dx lands where). So gathering the y-widened rows
+    at those two x cells (anchored at the clipped coarse y of the query)
+    covers every (dx, dy) target; per-offset parity selects pick the row and
+    the dy sub-window. Output identical to `packed_offset_map(mode='up')`
+    (oracle-tested in tests/test_grid.py)."""
+    assert kernel_size == 3, kernel_size
+    x_d, y_d, zc_d, zw_d = pt.dims
+    rw = (wide.shape[1] // 4 - 1) // 2
+    assert rw >= 1, rw
+    num_w = wide.shape[0]
+    b = jnp.clip(coords[:, 0], 0, spec.num_batches - 1)
+    m = coords[:, 1:] >> (table_level - 1)
+    o_cell = origin_lookup(origins, b) >> table_level
+    zlo = ((m[:, 2] - 1) >> 1) - o_cell[:, 2] + HALO
+    zlo_w = zlo >> 5
+    ok_z = valid & (zlo >= 0) & (zlo < zc_d - 1)
+    # anchor: clipped coarse y of the query; every (m_y+dy)>>1 is within
+    # ±1 of it (within the widening radius even after clipping)
+    cy_g = jnp.clip((m[:, 1] >> 1) - o_cell[:, 1] + HALO, 0, y_d - 1)
+    cx_lo = ((m[:, 0] - 1) >> 1) - o_cell[:, 0] + HALO
+    rows2 = []
+    for e in (0, 1):
+        cx = cx_lo + e
+        w0 = ((b * x_d + cx) * y_d + cy_g) * zw_d + zlo_w
+        ok_g = ok_z & (cx >= 0) & (cx < x_d)
+        w0 = jnp.clip(jnp.where(ok_g, w0, 0), 0, num_w - 1)
+        rows2.append(jnp.take(wide, w0, axis=0))  # [N, 4*(2rw+1)]
+    cols = []
+    for dx in (-1, 0, 1):
+        cx_t = ((m[:, 0] + dx) >> 1) - o_cell[:, 0] + HALO
+        use_hi = (cx_t - cx_lo) == 1
+        g = jnp.where(use_hi[:, None], rows2[1], rows2[0])
+        ok_x = (cx_t >= 0) & (cx_t < x_d)
+        ax = ((m[:, 0] + dx) & 1) == 0
+        for dy in (-1, 0, 1):
+            cy_t = ((m[:, 1] + dy) >> 1) - o_cell[:, 1] + HALO
+            d = cy_t - cy_g + rw
+            t4 = g[:, 4 * rw: 4 * rw + 4]
+            for dd in range(2 * rw + 1):
+                if dd != rw:
+                    t4 = jnp.where((d == dd)[:, None],
+                                   g[:, 4 * dd: 4 * dd + 4], t4)
+            ok_y = (cy_t >= 0) & (cy_t < y_d)
+            ay = ((m[:, 1] + dy) & 1) == 0
+            for dz in (-1, 0, 1):
+                zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + HALO
+                az = ((m[:, 2] + dz) & 1) == 0
+                exists, row = _window_rows(t4, zrel, zlo_w)
+                ok = ok_z & ok_x & ok_y & ax & ay & az & exists
+                cols.append(jnp.where(ok, row, -1))
+    return jnp.stack(cols, axis=1)
+
+
+def _scatter_inverse(src_cols: jax.Array, n_rows: int) -> jax.Array:
+    """Inverse of an offset-map column block via one scatter.
+
+    Offset maps satisfy m[q, k] = p ⟺ m'[p, K-1-k] = q where m' is the map
+    for the negated offsets (product order reverses under negation) — the
+    'same' maps are their own m', and the 'up' map is the 'down' map's m'.
+    Given the source block ``src_cols[Q, C]`` holding matches for offsets
+    δ_0..δ_{C-1}, returns ``inv[n_rows, C]`` holding matches for offsets
+    -δ_{C-1}..-δ_0 (i.e. inv[src_cols[q, C-1-j], j] = q), -1 where unmatched.
+    Exact: coordinates are unique, so scatter targets never collide (only the
+    out-of-range padding row absorbs the unmatched entries)."""
+    q_n, c_n = src_cols.shape
+    src = src_cols[:, ::-1]
+    rows = jnp.where(src >= 0, src, n_rows)
+    cols = jnp.arange(c_n, dtype=jnp.int32)[None, :]
+    qv = jnp.broadcast_to(
+        jnp.arange(q_n, dtype=jnp.int32)[:, None], (q_n, c_n))
+    # flat 1-D scatter (rows*C + col) — XLA lowers it much better than the
+    # 2-D advanced-index form
+    flat_idx = (rows * c_n + cols).reshape(-1)
+    out = jnp.full(((n_rows + 1) * c_n,), -1, jnp.int32)
+    out = out.at[flat_idx].set(qv.reshape(-1))
+    return out[: n_rows * c_n].reshape(n_rows, c_n)
+
+
+def transpose_offset_map(down: jax.Array, n_rows: int) -> jax.Array:
+    """Derive the mode='up' map at the finer level from the finer→coarser
+    mode='down' map at the coarser level: down[q, k] = j ⟺ up[j, K-1-k] = q
+    (same offset set, negated; both in itertools.product order). Replaces
+    K probe columns over the (larger) fine query set with one scatter of
+    the (smaller) coarse map."""
+    return _scatter_inverse(down, n_rows)
+
+
+def packed_offset_map_sym(
+    pt: PackedLevel,
+    origins: jax.Array,
+    coords: jax.Array,
+    valid: jax.Array,
+    spec: GridSpec,
+    *,
+    table_level: int,
+    kernel_size: int,
+) -> jax.Array:
+    """mode='same' kernel map with half the probe work.
+
+    Same-maps are self-transpose (m[q, k] = p ⟺ m[p, K-1-k] = q), so only
+    the offsets δ <lex 0 (columns 0..K//2-1) are probed; the center column
+    is the identity, and the mirror half is scatter-derived
+    (`_scatter_inverse`). Identical output to `packed_offset_map` for
+    in-extent tables (oracle-tested in tests/test_grid.py)."""
+    num_w = pt.table.shape[0]
+    r = kernel_size // 2
+    cols = []
+    for col in _offset_columns(origins, coords, valid, spec,
+                               table_level=table_level,
+                               kernel_size=kernel_size, mode="same"):
+        dx, dy = col["dxdy"]
+        if (dx, dy) > (0, 0):
+            continue
+        center_xy = (dx, dy) == (0, 0)
+        w0 = jnp.clip(jnp.where(col["ok_xy"], col["w0"], 0), 0, num_w - 1)
+        t4 = jnp.take(pt.table, w0, axis=0)
+        for dz_i, (zrel, aligned) in enumerate(col["dz"]):
+            if center_xy and dz_i - r >= 0:
+                break  # δ ≥lex 0: center + mirror half are derived below
+            exists, row = _window_rows(t4, zrel, col["zlo_w"])
+            ok = col["ok_xy"] & exists & aligned
+            cols.append(jnp.where(ok, row, -1))
+    half = jnp.stack(cols, axis=1)           # columns 0..K//2-1
+    n = coords.shape[0]
+    center = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1)
+    mirror = _scatter_inverse(half, n)       # columns K//2+1..K-1
+    return jnp.concatenate([half, center[:, None], mirror], axis=1)
 
 
 class CompactWords(NamedTuple):
@@ -812,7 +1033,7 @@ def build_pyramid_grid(
     num_levels: int = 4,
     conv1_kernel_size: int = 5,
     level_capacity: Sequence[int] | None = None,
-    map_impl: str = "auto",        # auto (= packed, measured) | banded | packed
+    map_impl: str = "auto",  # auto (measured) | banded | packed | transpose | ywide
 ) -> CoordinatePyramid:
     """Packed-grid pyramid, drop-in for kernel_map.build_pyramid.
 
@@ -858,33 +1079,54 @@ def build_pyramid_grid(
         tables.append((out[:cap], n_uniq))
 
     # Kernel maps: measured CHAINED choice (scripts_dev/profile_map_matrix
-    # .py, real sample pair, quantize+tables+all-11-maps in one jit):
-    # all-packed 17.9 ms beats every banded mix — banded scan-up 18.9,
-    # banded-pallas everywhere 20.6 (19.4 without the lax.cond fallback).
-    # STANDALONE the banded matchers win (pallas k5 5.3 vs packed 6.6,
-    # scan up 2.1 vs 6.2 — and round-1 wired scan-up on that basis), but
-    # chained XLA overlaps the packed gathers with the other maps' compute
-    # while the banded variants pay plan counting, compact_words builds,
-    # and cond/pallas pipeline barriers that don't overlap. The banded
-    # implementations stay selectable (map_impl="banded"; per-map
-    # match_impl in banded_offset_map) and oracle-tested: they carry an
-    # in-graph exactness flag and fall back to the dense path per map —
-    # a speed penalty, never a correctness one.
+    # .py + profile_transpose_map.py, real sample pair, quantize+tables+
+    # all-11-maps in one jit): ywide 14.4 ms < all-packed 16.4 < transpose
+    # 28.9; earlier matrix: all-packed 17.9 beats every banded mix — banded
+    # scan-up 18.9, banded-pallas everywhere 20.6 (19.4 without the
+    # lax.cond fallback). STANDALONE the banded matchers win (pallas k5
+    # 5.3 vs packed 6.6, scan up 2.1 vs 6.2 — and round-1 wired scan-up on
+    # that basis), but chained XLA overlaps the packed gathers with the
+    # other maps' compute while the banded variants pay plan counting,
+    # compact_words builds, and cond/pallas pipeline barriers that don't
+    # overlap. 'ywide' keeps the packed gathers but fetches all 2r+1 dy
+    # windows in ONE row gather per dx (`widen_y`), cutting gather count
+    # k²→k; 'transpose' (scatter-derived up maps + half-probed same maps)
+    # loses: the [N*K] scatters serialize where probes overlapped. All
+    # implementations stay selectable (map_impl=) and oracle-tested; the
+    # banded ones carry an in-graph exactness flag and fall back to the
+    # dense path per map — a speed penalty, never a correctness one.
+    if map_impl == "auto":
+        map_impl = "ywide"
+
     def _use_banded(mode):
         return map_impl == "banded"
 
     # build shared tables EAGERLY (outside any lax.cond — a fallback branch
     # must not be the first tracer of a table another map reuses)
-    packs, wtabs = [], []
+    packs, wtabs, ywides = [], [], []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
         packs.append(pack_level(c, v, origins, spec, lvl))
         wtabs.append(compact_words(c, v, origins, spec, lvl)
                      if _use_banded("same") else None)
+        if map_impl == "ywide":
+            rw = conv1_kernel_size // 2 if lvl == 0 else 1
+            ywides.append(widen_y(packs[lvl], rw))
+        else:
+            ywides.append(None)
 
     def make_map(table_level, c, v, kernel_size, mode):
         def dense_map():
+            if map_impl == "transpose" and mode == "same":
+                return packed_offset_map_sym(
+                    packs[table_level], origins, c, v, spec,
+                    table_level=table_level, kernel_size=kernel_size)
+            if map_impl == "ywide":
+                return packed_offset_map_ywide(
+                    packs[table_level], ywides[table_level], origins, c, v,
+                    spec, table_level=table_level, kernel_size=kernel_size,
+                    mode=mode)
             return packed_offset_map(packs[table_level], origins, c, v, spec,
                                      table_level=table_level,
                                      kernel_size=kernel_size, mode=mode)
@@ -914,17 +1156,27 @@ def build_pyramid_grid(
     else:
         k3_l0 = make_map(0, c0, v0, 3, "same")
 
+    # downs first: with map_impl="transpose" each level's up map is the
+    # scatter-transpose of the NEXT level's down map (same offsets negated →
+    # reversed columns; `transpose_offset_map`), replacing 27 probe columns
+    # over the larger fine query set with one scatter of the smaller map.
+    downs = [None] * num_levels
+    for lvl in range(1, num_levels):
+        c, n = tables[lvl]
+        v = jnp.arange(c.shape[0]) < n
+        downs[lvl] = make_map(lvl - 1, c, v, 3, "down")
+
     levels = []
     for lvl in range(num_levels):
         c, n = tables[lvl]
         v = jnp.arange(c.shape[0]) < n
         k3 = k3_l0 if lvl == 0 else make_map(lvl, c, v, 3, "same")
-        down = None
-        if lvl > 0:
-            down = make_map(lvl - 1, c, v, 3, "down")
         up = None
         if lvl < num_levels - 1:
-            up = make_map(lvl + 1, c, v, 3, "up")
-        levels.append(LevelMaps(c, n, k3, down, up))
+            if map_impl == "transpose":
+                up = transpose_offset_map(downs[lvl + 1], c.shape[0])
+            else:
+                up = make_map(lvl + 1, c, v, 3, "up")
+        levels.append(LevelMaps(c, n, k3, downs[lvl], up))
 
     return CoordinatePyramid(tuple(levels), k5)

@@ -86,6 +86,44 @@ def test_grid_pyramid_matches_search_pyramid(rng):
             assert a == b, (lvl, which)
 
 
+def test_transpose_pyramid_matches_packed(rng):
+    """map_impl='transpose' (scatter-derived up maps + half-probed same maps)
+    must produce BIT-IDENTICAL maps to the all-probe packed path, including
+    a k5 conv1 map and boundary-adjacent coordinates."""
+    c0 = make_cloud(rng, 400, 0, span=15)
+    c1 = make_cloud(rng, 300, 1, span=15)
+    coords = np.concatenate([c0, c1])
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 1024)
+    caps = (1024, 512, 256, 128)
+    # span 15 → coords in [-15, 15), 30 cells: within the 32-cell extent
+    # (in-extent is the pyramid precondition; see fits_grid) but touching
+    # the base_ok margins on both sides
+    spec = G.GridSpec(extent=(32, 32, 32), num_batches=2)
+    pyr_p = G.build_pyramid_grid(sv.coords, sv.num_valid, spec=spec,
+                                 conv1_kernel_size=5, level_capacity=caps,
+                                 map_impl="packed")
+    for impl in ("transpose", "ywide"):
+        pyr_t = G.build_pyramid_grid(sv.coords, sv.num_valid, spec=spec,
+                                     conv1_kernel_size=5, level_capacity=caps,
+                                     map_impl=impl)
+        np.testing.assert_array_equal(np.asarray(pyr_p.k5_l0),
+                                      np.asarray(pyr_t.k5_l0),
+                                      err_msg=f"{impl} k5")
+        for lvl in range(4):
+            lp, lt = pyr_p.levels[lvl], pyr_t.levels[lvl]
+            assert int(lp.num_valid) == int(lt.num_valid)
+            np.testing.assert_array_equal(np.asarray(lp.coords),
+                                          np.asarray(lt.coords))
+            for which in ("k3_same", "down", "up"):
+                a, b = getattr(lp, which), getattr(lt, which)
+                if a is None:
+                    assert b is None
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{impl} level {lvl} {which}")
+
+
 @pytest.mark.slow
 def test_model_forward_same_with_grid_pyramid(rng):
     # compile-heavy (two full-model compiles, ~5 min on CPU): the per-map
