@@ -58,6 +58,76 @@ def load_pair(config):
     return pair.xyz0, pair.xyz1, pair.image0, pair.image1, "synthetic pair"
 
 
+def model_forward_flops(model, variables, pyr, images) -> float:
+    """Algorithmic forward FLOPs: 2·nnz·Cin·Cout per sparse conv from actual
+    kernel-map occupancy (ME's work metric — each valid (out,k) map entry is
+    one Cin×Cout MAC row), plus the dense image trunk and attention fusion
+    from XLA's cost model (pure matmuls, no selection overhead to inflate).
+
+    Conv walk mirrors models/resunet.py::ResUNetIMF.__call__ exactly
+    (reference `model/resunet.py:163-235`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    lv = pyr.levels
+    ch, tr = model.channels, model.tr_channels
+
+    def nnz(m):
+        return int((np.asarray(m) >= 0).sum())
+
+    n_valid0 = int(lv[0].num_valid)
+    convs = [(nnz(pyr.k5_l0), model.in_channels, ch[0])]          # conv1
+    # residual block i = two k3 convs at its level (models/layers.py)
+    convs += [(nnz(lv[0].k3_same), ch[0], ch[0])] * 2             # block1
+    convs += [(nnz(lv[1].down), ch[0], ch[1])]                    # conv2
+    convs += [(nnz(lv[1].k3_same), ch[1], ch[1])] * 2             # block2
+    convs += [(nnz(lv[2].down), ch[1], ch[2])]                    # conv3
+    convs += [(nnz(lv[2].k3_same), ch[2], ch[2])] * 2             # block3
+    convs += [(nnz(lv[3].down), ch[2], ch[3])]                    # conv4
+    convs += [(nnz(lv[3].k3_same), ch[3], ch[3])] * 2             # block4
+    convs += [(nnz(lv[2].up), ch[3], tr[3])]                      # conv4_tr
+    convs += [(nnz(lv[2].k3_same), tr[3], tr[3])] * 2             # block4_tr
+    convs += [(nnz(lv[1].up), ch[2] + tr[3], tr[2])]              # conv3_tr
+    convs += [(nnz(lv[1].k3_same), tr[2], tr[2])] * 2             # block3_tr
+    convs += [(nnz(lv[0].up), ch[1] + tr[2], tr[1])]              # conv2_tr
+    convs += [(nnz(lv[0].k3_same), tr[1], tr[1])] * 2             # block2_tr
+    convs += [(n_valid0, ch[0] + tr[1], tr[0])]                   # conv1_tr 1x1
+    convs += [(n_valid0, tr[0], model.out_channels)]              # final 1x1
+    sparse_flops = float(sum(2.0 * n * cin * cout for n, cin, cout in convs))
+
+    dense_flops = 0.0
+    try:
+        from imfnet_tpu.models.fusion import AttentionFusion
+        from imfnet_tpu.models.resnet import ResNetTrunk
+
+        trunk = ResNetTrunk(compute_dtype=model.compute_dtype)
+        tvars = {"params": variables["params"]["img_encoder"],
+                 "batch_stats": variables["batch_stats"]["img_encoder"]}
+        tjit = jax.jit(lambda im: trunk.apply(tvars, im, train=False))
+        dense_flops += float(
+            tjit.lower(images).compile().cost_analysis()["flops"])
+
+        fusion = AttentionFusion(
+            dim=model.image_channels, latent_dim=ch[3],
+            depth=model.fusion_depth, cross_heads=1, latent_heads=8,
+            cross_dim_head=ch[3] // 2, latent_dim_head=ch[3] // 2,
+            compute_dtype=model.compute_dtype)
+        b = images.shape[0]
+        img = tjit(images)
+        tokens = jnp.zeros((b, img.shape[1] * img.shape[2], img.shape[3]),
+                           jnp.float32)
+        queries = jnp.zeros((b, lv[3].coords.shape[0], ch[3]), jnp.float32)
+        fvars = {"params": variables["params"]["attention_fusion"]}
+        fjit = jax.jit(lambda t, q: fusion.apply(fvars, t, q))
+        dense_flops += float(
+            fjit.lower(tokens, queries).compile().cost_analysis()["flops"])
+    except Exception as e:  # pragma: no cover - cost analysis availability
+        print(f"# dense-flops cost analysis unavailable: {e}", file=sys.stderr)
+        return float("nan")
+    return sparse_flops + dense_flops
+
+
 def main():
     from imfnet_tpu.config import threedmatch_config
     from imfnet_tpu.eval.extract import pad_points
@@ -290,15 +360,25 @@ def main():
         "match_ms": timeloop(_match_body),
     }
 
-    # MFU of the model forward against the chip's bf16 peak; flops from
-    # XLA's own cost model for the compiled forward
+    # ---- two MFU figures for the model forward ----
+    # (a) XLA-cost MFU: flops from XLA's cost model of the compiled program.
+    #     A *utilization* number — it counts the one-hot selection matmuls
+    #     the banded conv strategy introduces, so it can rise by making the
+    #     kernel LESS efficient.
     try:
         fwd_flops = float(fwd_jit.lower(sv_c, pyr_c).compile()
                           .cost_analysis()["flops"])
     except Exception:
         fwd_flops = float("nan")
+    # (b) model-FLOPs MFU: algorithmic work only — 2·nnz·Cin·Cout per sparse
+    #     conv counted from actual kernel-map occupancy, plus the dense image
+    #     trunk + attention fusion (XLA-counted; those are plain matmuls with
+    #     no selection overhead). This is the reference-comparable number: it
+    #     cannot improve by adding selection work.
+    model_flops = model_forward_flops(model, variables, pyr_c, images)
     peak_tflops = 197.0  # TPU v5e bf16 peak
     ach = fwd_flops / (stages["forward_ms"] * 1e-3) / 1e12
+    ach_model = model_flops / (stages["forward_ms"] * 1e-3) / 1e12
     stages = {k: round(v, 2) for k, v in stages.items()}
 
     pairs_per_sec = iters / dt
@@ -307,11 +387,17 @@ def main():
         "metric": "fragment-pairs/sec (desc+match)",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
+        # the denominator is the 1.0 pair/s ESTIMATE from the header — the
+        # reference publishes no throughput number
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 2),
+        "baseline_is_estimate": True,
         "stages": stages,
-        "forward_gflops": round(fwd_flops / 1e9, 1),
-        "forward_tflops_per_s": round(ach, 2),
-        "forward_mfu_vs_v5e_bf16_peak": round(ach / peak_tflops, 4),
+        "forward_gflops_xla": round(fwd_flops / 1e9, 1),
+        "forward_gflops_model": round(model_flops / 1e9, 1),
+        "forward_mfu_xla": round(ach / peak_tflops, 4),
+        "forward_mfu_model": round(ach_model / peak_tflops, 4),
+        "forward_tflops_per_s_xla": round(ach, 2),
+        "forward_tflops_per_s_model": round(ach_model, 2),
     }))
 
 

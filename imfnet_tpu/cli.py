@@ -114,6 +114,7 @@ def cmd_eval_3dmatch(args):
         desc_type=args.desc_type,
         keypoints_root=args.keypoints_root,
         use_saved_keypoints=args.use_saved_keypoints or None,
+        benchmark=args.benchmark,
     )
     print(json.dumps(summary))
 
@@ -167,6 +168,70 @@ def cmd_dam(args):
             model, variables, sv, pyr, jnp.asarray(image[None]), args.point)
         save_dam_image_overlay(args.image_out, image, np.asarray(sal))
         print(f"DAM image overlay written to {args.image_out}")
+
+
+def cmd_convert_imfnet(args):
+    """Released-weight parity, one command: reference .pth → our checkpoint
+    directory (state.msgpack + meta.json with embedded config), loadable by
+    every other subcommand via `--checkpoint`. Conversion contract:
+    `scripts/generate_desc.py:160-175` (config embedded in the .pth drives
+    model reconstruction) + `utils/torch_weights.convert_imfnet_torch`."""
+    import torch
+    from flax import serialization
+
+    from imfnet_tpu.config import threedmatch_config
+    from imfnet_tpu.utils.torch_weights import convert_imfnet_torch
+
+    ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    ref_cfg = ckpt.get("config", None)
+    over = {}
+    if ref_cfg is not None:
+        ref = dict(ref_cfg)
+        for k in ("trainer", "model", "model_n_out", "conv1_kernel_size",
+                  "normalize_feature", "dist_type", "best_val_metric",
+                  "voxel_size", "batch_size", "bn_momentum", "lr",
+                  "max_epoch", "weight_decay"):
+            if k in ref and ref[k] is not None:
+                over[k] = ref[k]
+    if args.voxel_size is not None:
+        over["voxel_size"] = args.voxel_size
+    config = threedmatch_config(**over)
+
+    variables = convert_imfnet_torch(
+        sd, conv1_kernel_size=config.conv1_kernel_size, depth=args.depth)
+    n_params = sum(
+        int(np.prod(np.shape(x)))
+        for x in _tree_leaves(variables["params"]))
+
+    os.makedirs(args.out, exist_ok=True)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    with open(os.path.join(args.out, "state.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+    meta = dict(
+        epoch=int(ckpt.get("epoch", 0) or 0),
+        best_val=float(ckpt.get("best_val", 0.0) or 0.0),
+        best_val_epoch=int(ckpt.get("best_val_epoch", 0) or 0),
+        best_val_metric=str(ckpt.get("best_val_metric",
+                                     config.best_val_metric)),
+        config=json.loads(config.to_json()),
+        format_version=1,
+        converted_from=os.path.abspath(args.pth),
+    )
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps({"out": args.out, "num_params": n_params,
+                      "model": config.model,
+                      "conv1_kernel_size": config.conv1_kernel_size}))
+
+
+def _tree_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _tree_leaves(v)
+        else:
+            yield v
 
 
 def cmd_compare(args):
@@ -304,7 +369,11 @@ def main(argv=None):
     pe.add_argument("--out-root", required=True)
     pe.add_argument("--benchmark-dir", required=True)
     pe.add_argument("--benchmark", choices=["3DMatch", "3DLoMatch"],
-                    default="3DMatch")
+                    default=None,
+                    help="fixture set; selects <benchmark-dir>/<benchmark> "
+                         "when benchmark-dir is a fixtures root "
+                         "(`evaluation_3dmatch.py:272,582`); default infers "
+                         "the label from benchmark-dir itself")
     pe.add_argument("--desc-type", default="IMFNet")
     pe.add_argument("--keypoints-root", default=None,
                     help="folder of per-pair keypoint npz caches (default "
@@ -331,6 +400,16 @@ def main(argv=None):
                     help="externally-provided keypoint caches shared by all"
                          " methods (default: sampled by the primary method)")
     pc.set_defaults(fn=cmd_compare)
+
+    pci = sub.add_parser("convert-imfnet")
+    pci.add_argument("--pth", required=True,
+                     help="released reference checkpoint (.pth)")
+    pci.add_argument("--out", required=True,
+                     help="output checkpoint directory")
+    pci.add_argument("--voxel-size", type=float, default=None)
+    pci.add_argument("--depth", type=int, default=0,
+                     help="fusion self-attention depth (IMFNet ships 0)")
+    pci.set_defaults(fn=cmd_convert_imfnet)
 
     pcd = sub.add_parser("convert-desc")
     pcd.add_argument("--desc-root", required=True)

@@ -224,13 +224,17 @@ def run_scene_matching(
     infos = read_info_file(osp.join(benchmark_dir, scene_name, "gt.info"))
 
     if register is None:
-        register = make_keypoint_registration(
-            voxel_size=config.voxel_size,
-            ransac_n=config.ransac_n,
-            num_hypotheses=config.ransac_max_iteration,
-            inlier_thresh=inlier_thresh,
+        # callers looping over scenes (evaluate) pass a jitted register so
+        # the trace/compile is shared; only a bare per-scene call jits here
+        register = jax.jit(
+            make_keypoint_registration(
+                voxel_size=config.voxel_size,
+                ransac_n=config.ransac_n,
+                num_hypotheses=config.ransac_max_iteration,
+                inlier_thresh=inlier_thresh,
+            ),
+            static_argnames=("swap",),
         )
-    register = jax.jit(register, static_argnames=("swap",))
     # ≤ num_rand_keypoints sampled raw points → ≤ that many distinct voxels
     kpt_pad = kpt_pad or config.num_rand_keypoints
     if keypoints_root is None:
@@ -421,6 +425,28 @@ def plot_recall_curve(
     return pdf_path
 
 
+def resolve_benchmark_dir(benchmark_dir: str, benchmark: Optional[str]) -> str:
+    """Resolve the fixture set for ``benchmark`` (3DMatch | 3DLoMatch).
+
+    The reference selects fixtures as `../benchmarks/{cfg.benchmarks}`
+    (`scripts/evaluation_3dmatch.py:272-273,582`): the flag names a subpath
+    of a fixtures root. Accepts either that root (descends into the
+    benchmark subdir) or an already-resolved directory whose basename
+    matches; anything else is an error rather than silently mislabeled
+    results."""
+    if benchmark is None:
+        return benchmark_dir
+    sub = osp.join(benchmark_dir, benchmark)
+    if osp.isdir(sub):
+        return sub
+    if osp.basename(osp.normpath(benchmark_dir)).lower() == benchmark.lower():
+        return benchmark_dir
+    raise ValueError(
+        f"--benchmark {benchmark}: {benchmark_dir!r} has no {benchmark}/ "
+        f"subdirectory and is not itself named {benchmark}; refusing to "
+        f"label its results as {benchmark}")
+
+
 def evaluate(
     config: Config,
     desc_root: str,
@@ -431,14 +457,22 @@ def evaluate(
     seq_name: str = "seq-01",
     keypoints_root: Optional[str] = None,
     use_saved_keypoints: Optional[bool] = None,
+    benchmark: Optional[str] = None,
 ) -> Dict:
     """Full benchmark loop (`scripts/evaluation_3dmatch.py:501-553`)."""
+    benchmark_dir = resolve_benchmark_dir(benchmark_dir, benchmark)
     scenes = scenes or TEST_SCENE_NAMES
-    register = make_keypoint_registration(
-        voxel_size=config.voxel_size,
-        ransac_n=config.ransac_n,
-        num_hypotheses=config.ransac_max_iteration,
-        inlier_thresh=config.inlier_thresh,
+    # one jit shared by all scenes and both swap variants — per-scene
+    # wrapping re-traced (and without a persistent cache, re-compiled)
+    # the whole registration program 8×
+    register = jax.jit(
+        make_keypoint_registration(
+            voxel_size=config.voxel_size,
+            ransac_n=config.ransac_n,
+            num_hypotheses=config.ransac_max_iteration,
+            inlier_thresh=config.inlier_thresh,
+        ),
+        static_argnames=("swap",),
     )
     payloads = [
         run_scene_matching(
@@ -450,5 +484,8 @@ def evaluate(
         for s in scenes
     ]
     plot_recall_curve(payloads, out_root, desc_type)
-    return compute_metrics(payloads, config, out_root, desc_type,
-                           config.inlier_thresh)
+    summary = compute_metrics(payloads, config, out_root, desc_type,
+                              config.inlier_thresh)
+    summary["benchmark"] = benchmark or osp.basename(
+        osp.normpath(benchmark_dir))
+    return summary

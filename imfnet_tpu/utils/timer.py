@@ -30,13 +30,17 @@ class Meter:
         self.last = 0.0
 
     def add(self, value: float, weight: int = 1):
+        """Fold in ``weight`` identical observations of ``value`` in O(1)
+        (Chan's parallel-variance merge with a zero-variance group)."""
+        if weight <= 0:
+            return float(value)
         value = float(value)
         self.last = value
-        for _ in range(weight):
-            self.count += 1
-            delta = value - self.mean
-            self.mean += delta / self.count
-            self._m2 += delta * (value - self.mean)
+        new_count = self.count + weight
+        delta = value - self.mean
+        self.mean += delta * weight / new_count
+        self._m2 += delta * delta * weight * self.count / new_count
+        self.count = new_count
         self.min = min(self.min, value)
         self.max = max(self.max, value)
         return value

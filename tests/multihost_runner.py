@@ -144,8 +144,49 @@ def main():
     leaves = jax.tree_util.tree_leaves(state2.params)
     sums = [float(np.asarray(jnp.sum(leaf).addressable_data(0)))
             for leaf in leaves]
+
+    # one sharded batch-of-pairs registration step over the same global mesh
+    # (the eval-throughput path of SURVEY.md §2.3) — must also be
+    # process-topology-invariant
+    from imfnet_tpu.geom.transforms import sample_random_trans
+    from imfnet_tpu.parallel.dp import make_parallel_registration
+
+    K = 128
+    kp0s, kd0s, kp1s, kd1s, Ts = [], [], [], [], []
+    for d in range(2):
+        r = np.random.RandomState(200 + d)
+        src = r.rand(K, 3).astype(np.float32) * 2
+        T = sample_random_trans(src, r).astype(np.float32)
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        desc = r.randn(K, 16).astype(np.float32)
+        kp0s.append(src); kp1s.append(dst)
+        kd0s.append(desc); kd1s.append(desc + r.randn(K, 16).astype(np.float32) * 1e-3)
+        Ts.append(np.linalg.inv(T))
+    ok_rows = [np.ones((K,), bool)] * 2
+    reg_keys = [np.asarray(jax.random.PRNGKey(500 + d)) for d in range(2)]
+    covs = [np.eye(6, dtype=np.float32)] * 2
+    reg_args = tuple(
+        to_global_stacked(*rows)
+        for rows in (reg_keys, kp0s, kd0s, ok_rows, kp1s, kd1s, ok_rows,
+                     Ts, covs)
+    )
+    par_reg = make_parallel_registration(mesh, voxel_size=0.05,
+                                         num_hypotheses=2048)
+    reg_compiled = par_reg.lower(*reg_args).compile()
+    if args.mode == "multi":
+        multihost_utils.sync_global_devices("reg-compiled")
+    reg_out = reg_compiled(*reg_args)
+    # each process addresses its own shard; all-gather the metric rows so
+    # process 0 records the global result
+    rr = np.asarray(jax.experimental.multihost_utils.process_allgather(
+        reg_out["rr"], tiled=True)) if args.mode == "multi" else \
+        np.asarray(reg_out["rr"])
+    ir = np.asarray(jax.experimental.multihost_utils.process_allgather(
+        reg_out["ir"], tiled=True)) if args.mode == "multi" else \
+        np.asarray(reg_out["ir"])
+
     if args.process_id == 0:
-        np.savez(args.out, loss=loss, sums=np.array(sums))
+        np.savez(args.out, loss=loss, sums=np.array(sums), rr=rr, ir=ir)
         print("OK", loss)
     return 0
 

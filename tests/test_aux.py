@@ -96,3 +96,51 @@ def test_recall_curve_artifacts(tmp_path):
     # at tau2=0.05: 2 of 3 pairs above
     row = dict(l.split(",") for l in lines[1:])
     assert abs(float(row["0.05"]) - 2 / 3) < 1e-6
+
+
+def test_meter_weighted_welford():
+    """Meter.add(value, weight) is the O(1) closed form: statistics match
+    feeding the value `weight` times, at any weight (the reference's
+    `AverageMeter.update(val, n)` path, `lib/timer.py:34-41`)."""
+    from imfnet_tpu.utils.timer import AverageMeter, Meter
+
+    rng = np.random.RandomState(0)
+    vals = rng.randn(20)
+    weights = rng.randint(1, 10_000, size=20)
+    m = Meter()
+    for v, w in zip(vals, weights):
+        m.add(v, weight=int(w))
+    flat = np.repeat(vals, weights)
+    assert m.count == int(weights.sum())
+    assert m.mean == pytest.approx(flat.mean(), rel=1e-10)
+    assert m.var == pytest.approx(flat.var(), rel=1e-9)
+    assert m.min == pytest.approx(flat.min())
+    assert m.max == pytest.approx(flat.max())
+    # large-n update is O(1), not O(n): must return instantly
+    big = AverageMeter()
+    big.update(3.0, n=10**9)
+    big.update(5.0, n=10**9)
+    assert big.avg == pytest.approx(4.0)
+    # zero/negative weight is a no-op
+    before = (m.count, m.mean, m.var)
+    m.add(123.0, weight=0)
+    assert (m.count, m.mean, m.var) == before
+
+
+def test_resolve_benchmark_dir(tmp_path):
+    """--benchmark selects <root>/<benchmark> (`evaluation_3dmatch.py:272`),
+    accepts an already-resolved dir, and refuses a mislabeling mismatch."""
+    from imfnet_tpu.eval.threedmatch import resolve_benchmark_dir
+
+    root = tmp_path / "benchmarks"
+    (root / "3DMatch").mkdir(parents=True)
+    (root / "3DLoMatch").mkdir()
+    assert resolve_benchmark_dir(str(root), "3DLoMatch") == \
+        str(root / "3DLoMatch")
+    assert resolve_benchmark_dir(str(root / "3DMatch"), "3DMatch") == \
+        str(root / "3DMatch")
+    # no flag -> pass-through (label inferred by the caller)
+    assert resolve_benchmark_dir(str(root / "3DMatch"), None) == \
+        str(root / "3DMatch")
+    with pytest.raises(ValueError):
+        resolve_benchmark_dir(str(root / "3DMatch"), "3DLoMatch")

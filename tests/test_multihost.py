@@ -66,3 +66,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(multi["loss"], single["loss"], rtol=1e-5)
     np.testing.assert_allclose(multi["sums"], single["sums"],
                                rtol=1e-4, atol=1e-5)
+    # the sharded batch-of-pairs registration step is topology-invariant too
+    np.testing.assert_array_equal(multi["rr"], single["rr"])
+    np.testing.assert_allclose(multi["ir"], single["ir"], atol=1e-5)
+    assert multi["rr"].shape == (2,) and multi["rr"].min() >= 0

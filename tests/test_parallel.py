@@ -146,3 +146,45 @@ def test_parallel_registration_matches_single(rng):
         np.testing.assert_allclose(float(out["ir"][d]), float(ref["ir"]),
                                    atol=1e-5)
         assert float(out["rr"][d]) == float(ref["rr"])
+
+
+@pytest.mark.slow
+def test_parallel_eval_forward_matches_single(rng):
+    """Sharded descriptor extraction (`parallel/dp.py
+    make_parallel_eval_forward`) == per-batch single-device forwards."""
+    from imfnet_tpu.parallel.dp import make_parallel_eval_forward
+    from imfnet_tpu.train.step import forward_pair
+
+    D = 4
+    config = threedmatch_config(
+        batch_size=1, conv1_kernel_size=3, model_n_out=8,
+        max_points=512, compute_dtype="float32",
+    )
+    model = load_model(config.model)(
+        in_channels=1, out_channels=8, conv1_kernel_size=3,
+        normalize_feature=True, compute_dtype=jnp.float32,
+    )
+    batches = [
+        synthetic_batch(rng, 1, 200, config.max_points, image_hw=(24, 32))
+        for _ in range(D)
+    ]
+    sv = SparseVoxels(batches[0].coords0, batches[0].feats0, batches[0].n0)
+    pyr = build_pyramid(batches[0].coords0, batches[0].n0, conv1_kernel_size=3,
+                        level_capacity=level_capacities(config.max_points))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, batches[0].image0,
+                           train=False)
+    mesh = make_mesh(D)
+    params = replicate(mesh, variables["params"])
+    stats = replicate(mesh, variables["batch_stats"])
+    stacked = shard_pair_batches(mesh, stack_batches(batches))
+    pfwd = make_parallel_eval_forward(model, config, mesh)
+    f0s, f1s = pfwd(params, stats, stacked)
+    assert f0s.shape[0] == D and f1s.shape[0] == D
+    for d in range(D):
+        r0, r1, _ = forward_pair(
+            model, variables["params"], variables["batch_stats"],
+            batches[d], train=False, config=config)
+        np.testing.assert_allclose(np.asarray(f0s[d]), np.asarray(r0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f1s[d]), np.asarray(r1),
+                                   atol=1e-5)

@@ -171,3 +171,114 @@ def test_imfnet_checkpoint_roundtrip(rng):
         {"params": converted["params"], "batch_stats": converted["batch_stats"]},
         sv, pyr, image, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_imfnet_cli_roundtrip(rng, tmp_path):
+    """`cli convert-imfnet --pth ... --out ...`: a reference-layout .pth
+    (state_dict + embedded config, `lib/trainer.py:183-198`) becomes a
+    checkpoint directory every other subcommand loads via --checkpoint —
+    the one-command released-weight parity path."""
+    import torch
+
+    from imfnet_tpu.cli import _load_model_and_vars, main
+
+    conv1_k = 3
+    model = load_model("ResUNetBN2C")(
+        in_channels=1, out_channels=32, conv1_kernel_size=conv1_k,
+        normalize_feature=True, compute_dtype=jnp.float32,
+    )
+    coords = make_cloud(rng, 150, 0, span=10)
+    sv = from_numpy(coords, np.ones((len(coords), 1), np.float32), 256)
+    pyr = build_pyramid(sv.coords, sv.num_valid, conv1_kernel_size=conv1_k,
+                        level_capacity=(256, 128, 64, 64))
+    image = jnp.asarray(rng.rand(1, 24, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, image, train=False)
+    variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+    sd = {k: torch.from_numpy(v.copy())
+          for k, v in _emit_torch_dict(variables, conv1_k).items()}
+
+    pth = tmp_path / "imfnet_best.pth"
+    torch.save({
+        "state_dict": sd,
+        "config": {"model": "ResUNetBN2C", "model_n_out": 32,
+                   "conv1_kernel_size": conv1_k, "normalize_feature": True,
+                   "voxel_size": 0.025, "best_val_metric": "feat_match_ratio"},
+        "epoch": 17,
+        "best_val": 0.95,
+        "best_val_epoch": 15,
+        "best_val_metric": "feat_match_ratio",
+    }, str(pth))
+
+    out_dir = tmp_path / "converted"
+    main(["convert-imfnet", "--pth", str(pth), "--out", str(out_dir)])
+
+    loaded_model, loaded_vars, config = _load_model_and_vars(str(out_dir))
+    assert config.model == "ResUNetBN2C"
+    assert config.conv1_kernel_size == conv1_k
+    # weights survive the .pth → checkpoint-dir round trip bit-exactly
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]})
+    b_by_path = {jax.tree_util.keystr(p): v for p, v in
+                 jax.tree_util.tree_leaves_with_path(dict(loaded_vars))}
+    assert {jax.tree_util.keystr(p) for p, _ in flat_a} == set(b_by_path)
+    for p, v in flat_a:
+        np.testing.assert_array_equal(v, b_by_path[jax.tree_util.keystr(p)],
+                                      err_msg=jax.tree_util.keystr(p))
+    # the checkpoint-built model runs at the config compute dtype (bf16) —
+    # unit-norm descriptors must agree with the f32 reference to bf16 noise
+    ref = np.asarray(model.apply(variables, sv, pyr, image, train=False))
+    out = np.asarray(loaded_model.apply(loaded_vars, sv, pyr, image,
+                                        train=False))
+    n = int(sv.num_valid)
+    cos = np.sum(ref[:n] * out[:n], axis=1)
+    assert np.min(cos) > 0.995, float(np.min(cos))
+
+
+def test_golden_descriptor_parity():
+    """Released-weight golden-descriptor scaffold: when the .pth and a
+    reference-generated .npz land (no egress here — they are not in this
+    environment), this test converts the checkpoint, extracts descriptors on
+    the reference's own sample fragment (`files/cloud_bin_0.ply` + image,
+    the `generate_desc.py` contract), and compares row-for-row against the
+    reference output. Point at them with IMFNET_PTH / IMFNET_GOLDEN_NPZ."""
+    import os
+
+    pth = os.environ.get("IMFNET_PTH")
+    golden = os.environ.get("IMFNET_GOLDEN_NPZ")
+    if not pth or not golden:
+        pytest.skip("set IMFNET_PTH and IMFNET_GOLDEN_NPZ to run "
+                    "released-weight parity")
+    ply = "/root/reference/files/cloud_bin_0.ply"
+    png = "/root/reference/files/cloud_bin_0_0.png"
+    assert os.path.exists(ply) and os.path.exists(png)
+
+    import tempfile
+
+    from imfnet_tpu.cli import _load_model_and_vars, main
+    from imfnet_tpu.eval.extract import make_bucketed_extractor, pad_points
+    from imfnet_tpu.geom.image import load_image, process_image
+    from imfnet_tpu.geom.ply import read_ply
+    from imfnet_tpu.utils.hashing import voxel_key_rows
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt_dir = os.path.join(td, "ckpt")
+        main(["convert-imfnet", "--pth", pth, "--out", ckpt_dir])
+        model, variables, config = _load_model_and_vars(ckpt_dir)
+        extract = make_bucketed_extractor(model, variables, config=config)
+        pts = read_ply(ply)["points"].astype(np.float32)
+        img = process_image(load_image(png), config.image_H, config.image_W)
+        raw, n_raw = pad_points(pts, 1 << 18)
+        xyz_down, feats = extract(raw, n_raw, jnp.asarray(img[None]))
+        xyz_down, feats = np.asarray(xyz_down), np.asarray(feats)
+
+    ref = np.load(golden)
+    # row order may differ (ME hash order vs scan order): align by voxel key
+    rows = voxel_key_rows(ref["xyz"], xyz_down, config.voxel_size)
+    assert (rows >= 0).mean() > 0.999, "voxel sets diverge"
+    ok = rows >= 0
+    ours = feats[rows[ok]]
+    theirs = np.asarray(ref["feature"])[ok]
+    cos = np.sum(ours * theirs, axis=1) / (
+        np.linalg.norm(ours, axis=1) * np.linalg.norm(theirs, axis=1) + 1e-12)
+    assert np.median(cos) > 0.99, float(np.median(cos))
