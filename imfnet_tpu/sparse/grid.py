@@ -1003,16 +1003,25 @@ def quantize_grid(
             (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]),
         ])
     pos = _exclusive_cumsum(first.astype(jnp.int32))
-    slot = jnp.where(first & (pos < n_out), pos, n_out)
-    sel_raw = jnp.full((n_out + 1,), big, jnp.int32).at[slot].set(
-        sr, mode="drop")[:n_out]
-    ok = sel_raw != big
-    sel = jnp.where(ok, sel_raw, -1)
-    ss = jnp.where(ok, sel_raw, 0)
+    # Compaction by a SECOND 1-key sort instead of a scatter: run winners
+    # carry their scan position as key, everything else sorts to the back —
+    # the first n_out entries land in scan order. The [524k]→[40k] scatter
+    # this replaces pays per input row and traced at 2.4 ms vs 0.46 ms for a
+    # same-size sort (scripts_dev/profile_trace3.py, round 3).
+    key2 = jnp.where(first, pos, jnp.int32(n))
+    _, sel_sorted = jax.lax.sort((key2, sr), num_keys=1, is_stable=False)
+    n_uniq = jnp.minimum(jnp.sum(first.astype(jnp.int32)), n_out)
+    ok = jnp.arange(n_out, dtype=jnp.int32) < n_uniq
+    if n_out <= n:
+        sel_front = jax.lax.slice(sel_sorted, (0,), (n_out,))
+    else:  # capacity exceeds the input row count; the tail is masked by ok
+        sel_front = jnp.concatenate(
+            [sel_sorted, jnp.zeros((n_out - n,), jnp.int32)])
+    sel = jnp.where(ok, sel_front, -1)
+    ss = jnp.where(ok, sel_front, 0)
     uniq = jnp.where(ok[:, None], jnp.take(coords4, ss, axis=0), PAD_COORD)
     f = jnp.where(ok[:, None], jnp.take(feats, ss, axis=0), 0)
     xyz_down = jnp.where(ok[:, None], jnp.take(xyz, ss, axis=0), 0.0)
-    n_uniq = jnp.sum(ok.astype(jnp.int32))
     return SparseVoxels(uniq, f, n_uniq), sel, xyz_down
 
 
@@ -1052,30 +1061,48 @@ def build_pyramid_grid(
     valid0 = jnp.arange(n0) < num_valid
     origins = batch_origins(coords, valid0, spec.num_batches)
 
-    # --- per-level coordinate tables: grid dedup + rank-ordered compaction.
-    # NOTE a neighbor-compare dedup on the strided parent table is WRONG:
-    # striding does not preserve lexicographic order (dropping x bits merges
-    # x-groups, re-exposing y/z comparisons), so winners must come from a
-    # grid and scan positions from the packed rank.
+    # --- per-level coordinate tables: sort-dedup-compact over the (small)
+    # parent table. A neighbor-compare dedup on the strided parent table is
+    # WRONG (striding does not preserve lexicographic order: dropping x bits
+    # merges x-groups, re-exposing y/z comparisons), so a per-level 2-key
+    # sort of the strided cell keys re-establishes scan order. This replaced
+    # a dense-grid winner election (scatter-min into the full level grid +
+    # packed-rank positions): traced at ~3 ms/pair of grid materialization
+    # for level tables that are only ~40k rows — the sort costs ~0.1 ms
+    # (scripts_dev/profile_trace3.py, round 3).
     tables = [(coords, num_valid)]
     for lvl in range(1, num_levels):
         prev_coords, prev_n = tables[-1]
-        prev_valid = jnp.arange(prev_coords.shape[0]) < prev_n
+        n_prev = prev_coords.shape[0]
+        prev_valid = jnp.arange(n_prev) < prev_n
         strided = jnp.concatenate(
             [prev_coords[:, :1], (prev_coords[:, 1:] >> lvl) << lvl], axis=1
         )
-        g = build_grid(strided, prev_valid, origins, spec, lvl)
-        rows = jnp.arange(prev_coords.shape[0], dtype=jnp.int32)
-        win = grid_lookup(g, origins, strided, prev_valid, spec, lvl)
-        keep = prev_valid & (win == rows)
-        bits, rank = pack_words(strided, keep, origins, spec, lvl)
-        pos = scan_position(bits, rank, strided, keep, origins, spec, lvl)
-        kept = keep & (pos >= 0)
+        b, c = _rel_cells(strided, origins, lvl, spec.num_batches)
+        x_d, y_d, zc_d, _ = _packed_dims(spec, lvl)
+        in_r = (
+            prev_valid
+            & (c >= 0).all(axis=1)
+            & (c[:, 0] < x_d) & (c[:, 1] < y_d) & (c[:, 2] < zc_d)
+        )
+        big = jnp.int32(0x7FFFFFFF)
+        # (b, x, y) fits int32 whenever the quantize key does; z rides as a
+        # second sort key so huge configured extents stay safe
+        key_hi = jnp.where(in_r, (b * x_d + c[:, 0]) * y_d + c[:, 1], big)
+        key_lo = jnp.where(in_r, c[:, 2], big)
+        rows = jnp.arange(n_prev, dtype=jnp.int32)
+        sh, sl, sr = jax.lax.sort((key_hi, key_lo, rows), num_keys=2,
+                                  is_stable=False)
+        fi = (sh != big) & jnp.concatenate([
+            jnp.ones((1,), bool),
+            (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]),
+        ])
+        pos = jnp.cumsum(fi.astype(jnp.int32)) - fi.astype(jnp.int32)
         cap = level_capacity[lvl]
-        tgt = jnp.where(kept & (pos < cap), pos, cap)
+        tgt = jnp.where(fi & (pos < cap), pos, cap)
         out = jnp.full((cap + 1, 4), PAD_COORD, jnp.int32)
-        out = out.at[tgt].set(strided, mode="drop")
-        n_uniq = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), cap)
+        out = out.at[tgt].set(jnp.take(strided, sr, axis=0), mode="drop")
+        n_uniq = jnp.minimum(jnp.sum(fi.astype(jnp.int32)), cap)
         tables.append((out[:cap], n_uniq))
 
     # Kernel maps: measured CHAINED choice (scripts_dev/profile_map_matrix
