@@ -99,12 +99,16 @@ def ransac_registration(
                 ratio2 = edge_length_ratio ** 2
                 edge_ok &= (ls2 > ratio2 * ld2) & (ld2 > ratio2 * ls2)
         # degenerate duplicate picks → zero edges fail the checker already.
-        # 3-point fits need few power iterations — bad hypotheses are culled
-        # by the checkers and the winner is refit over its full inlier set.
+        # power_iters=24 (12 matrix squarings): noisy 3-point fits have a
+        # near-degenerate Horn eigengap after the positivity shift, and 10
+        # iters (5 squarings) lost HALF the good samples — success prob
+        # 0.505 vs the o3d oracle's 0.69 at 3% inliers; 24 reaches exact-SVD
+        # parity (scripts_dev/ransac_power.py, round 3). The extra
+        # squarings are [B]-wide VPU ops, ~free next to the checkers.
         # All hypothesis transforms stay in SoA component form ([B] arrays):
         # a [B,4,4] tensor pads its minor dims to full TPU tiles and the
         # einsum-style checkers were 4x the cost of the whole fit
-        R, t3 = kabsch_umeyama_soa(s, d, power_iters=10)
+        R, t3 = kabsch_umeyama_soa(s, d, power_iters=24)
         # --- distance checker on the sampled correspondences ---
         samp_ok = jnp.ones((hypo_block,), bool)
         for p in range(ransac_n):

@@ -1097,13 +1097,20 @@ def build_pyramid_grid(
             jnp.ones((1,), bool),
             (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]),
         ])
-        pos = jnp.cumsum(fi.astype(jnp.int32)) - fi.astype(jnp.int32)
         cap = level_capacity[lvl]
-        tgt = jnp.where(fi & (pos < cap), pos, cap)
-        out = jnp.full((cap + 1, 4), PAD_COORD, jnp.int32)
-        out = out.at[tgt].set(jnp.take(strided, sr, axis=0), mode="drop")
+        # stream-compact the run winners with a second 1-key sort (winners
+        # carry their sorted position as key, the rest sort to the back) —
+        # same trick as the quantize compaction; the cumsum+scatter this
+        # replaced traced at ~1.7 ms/pair across the 3 levels vs ~0.1 for
+        # the sorts (scripts_dev/profile_trace3.py, round 3)
+        key2 = jnp.where(fi, rows, big)
+        k2s, src = jax.lax.sort((key2, sr), num_keys=1, is_stable=False)
+        k2s, src = k2s[:cap], src[:cap]
+        out = jnp.where((k2s != big)[:, None],
+                        jnp.take(strided, src, axis=0),
+                        jnp.int32(PAD_COORD))
         n_uniq = jnp.minimum(jnp.sum(fi.astype(jnp.int32)), cap)
-        tables.append((out[:cap], n_uniq))
+        tables.append((out, n_uniq))
 
     # Kernel maps: measured CHAINED choice (scripts_dev/profile_map_matrix
     # .py + profile_transpose_map.py, real sample pair, quantize+tables+

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--extent", type=float, default=0.8)
     ap.add_argument("--max-points", type=int, default=8192)
     ap.add_argument("--lr", type=float, default=0.1)
+    # VERDICT r2 item 6: >=16 val pairs — with 4, one pair flipping moved
+    # the success metric by 25 points
+    ap.add_argument("--val-pairs", type=int, default=16)
     ap.add_argument("--out", default="quality_curve.json")
     args = ap.parse_args()
 
@@ -74,7 +77,7 @@ def main():
                                       image_hw=(config.image_H,
                                                 config.image_W))],
                       config.max_points)
-        for i in range(4)
+        for i in range(args.val_pairs)
     ]
 
     b0 = make_batch(np.random.RandomState(99))
@@ -111,17 +114,37 @@ def main():
             print(json.dumps(point), flush=True)
     wall = time.perf_counter() - t0
 
+    # trend gate (VERDICT r2 item 6): instead of a 2-endpoint comparison,
+    # require the hit-ratio to trend up over the WHOLE curve — positive
+    # least-squares slope and bounded drawdown from the running max — plus a
+    # final FMR over the (>=16-pair) validation set.
+    hrs = np.array([c["hit_ratio"] for c in curve])
+    xs = np.array([c["step"] for c in curve], dtype=np.float64)
+    slope = float(np.polyfit(xs, hrs, 1)[0]) if len(hrs) > 1 else 0.0
+    drawdown = float(np.max(np.maximum.accumulate(hrs) - hrs))
+    gate = {
+        "n_val_pairs": args.val_pairs,
+        "hit_ratio_slope_per_step": slope,
+        "max_drawdown": drawdown,
+        "monotone_ok": bool(slope > 0 and drawdown <= 0.3 * max(hrs.max(), 1e-9)),
+        "final_hit_ratio": float(hrs[-1]),
+        "final_fmr": float(curve[-1]["feat_match_ratio"]),
+        "final_success": float(curve[-1]["success"]),
+    }
     out = {
         "curve": curve,
+        "gate": gate,
         "steps": args.steps,
         "wall_s": wall,
         "steps_per_s": args.steps / wall,
         "config": {"n_points": args.n_points, "lr": args.lr,
                    "batch_size": config.batch_size,
-                   "max_points": args.max_points},
+                   "max_points": args.max_points,
+                   "val_pairs": args.val_pairs},
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
+    print(json.dumps(gate))
     print(f"curve written to {args.out}; "
           f"hit_ratio {curve[0]['hit_ratio']:.3f} -> {curve[-1]['hit_ratio']:.3f}")
 
