@@ -313,3 +313,29 @@ def test_visualize_pair_registration(tmp_path):
     assert os.path.exists(out_dir / "before.ply")
     assert os.path.exists(out_dir / "after.ply")
     assert np.isfinite(T).all() and T.shape == (4, 4)
+
+
+def test_keypoint_sampler_uniform_without_replacement():
+    """The on-device sampler must match `rng.choice(n, k, replace=False)`
+    (`evaluation_3dmatch.py:154-156`): no duplicates, never an invalid row,
+    and per-row inclusion probability uniform at k/n (the round-2 stratified
+    sampler was correlated with scan position)."""
+    import jax
+    import jax.numpy as jnp
+    from imfnet_tpu.eval.registration import sample_keypoints
+
+    n, n_valid, k, trials = 256, 200, 50, 400
+    valid = jnp.arange(n) < n_valid
+    counts = np.zeros(n, np.int64)
+    for t in range(trials):
+        rows, ok = jax.jit(sample_keypoints, static_argnums=2)(
+            jax.random.PRNGKey(t), valid, k)
+        rows = np.asarray(rows)
+        assert bool(np.asarray(ok).all())
+        assert len(set(rows.tolist())) == k          # without replacement
+        assert rows.max() < n_valid                  # only valid rows
+        counts[rows] += 1
+    freq = counts[:n_valid] / trials
+    expected = k / n_valid
+    # 400 trials, p=0.25: binomial sigma ~= 0.022; allow 5 sigma
+    assert np.abs(freq - expected).max() < 0.11, freq
