@@ -32,7 +32,8 @@ def _base_config(args):
         over["dataset"] = "SyntheticPairDataset"
     for k in ("threed_match_dir", "overlap_path", "kitti_root", "out_dir",
               "max_epoch", "batch_size", "lr", "voxel_size", "trainer",
-              "max_points", "seed", "resume"):
+              "max_points", "seed", "resume",
+              "model", "model_n_out", "conv1_kernel_size"):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
@@ -337,7 +338,10 @@ def main(argv=None):
                       ("--lr", float), ("--voxel-size", float),
                       ("--trainer", str), ("--max-points", int),
                       ("--seed", int), ("--resume", str),
-                      ("--resume-dir", str)]:
+                      ("--resume-dir", str),
+                      # net group flags (`config_3dmatch.py:60-76`)
+                      ("--model", str), ("--model-n-out", int),
+                      ("--conv1-kernel-size", int)]:
         pt.add_argument(flag, type=typ, default=None,
                         dest=flag[2:].replace("-", "_"))
     # multi-host (DCN): one process per host, rendezvous at the coordinator

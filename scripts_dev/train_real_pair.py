@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Real-data train -> eval -> interpret loop on the reference's sample pair.
+
+VERDICT r2 item 5: the only real data in this environment is the reference's
+`files/cloud_bin_{0,1}.ply` (+ images) — identified as the redkitchen
+cloud_bin_0/1 pair: the (0, 1) pose in
+`/root/reference/benchmarks/3DMatch/7-scenes-redkitchen/gt.log` aligns them
+at ~74% inliers @ 2.5 cm (measured here; every other scene's (0,1) pose is
+<25%). This script overfits the full IMFNet model on that pair THROUGH THE
+ACTUAL CLI (`imfnet_tpu.cli train`, reference-layout data dir), then:
+
+  1. records the trainer's own validation curve (metrics.jsonl),
+  2. independently registers the ORIGINAL (untransformed) fragments with
+     descriptors from the trained checkpoint (extract -> NN -> RANSAC) and
+     scores RRE/RTE/inlier-ratio against the gt.log pose,
+  3. runs `cli dam` on the trained checkpoint to produce the attribution
+     PLY (+ image overlay) — the reference's dam.py demo (`dam.py:53-54`)
+     from a trained-here checkpoint.
+
+Output JSON goes next to the repo root (real_pair_r03.json) and a shortened
+version runs as a slow test (tests/test_real_pair.py).
+
+Usage: python scripts_dev/train_real_pair.py [--epochs 24] [--out real_pair.json]
+"""
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+REF_FILES = "/root/reference/files"
+GT_LOG = "/root/reference/benchmarks/3DMatch/7-scenes-redkitchen/gt.log"
+
+
+def redkitchen_gt_pose():
+    """gt.log pose for pair (0, 1): maps cloud_bin_1 into cloud_bin_0's
+    frame (`util/trajectory.py:17-30` convention)."""
+    from imfnet_tpu.geom.trajectory import read_trajectory
+    for c in read_trajectory(GT_LOG):
+        if tuple(c.metadata[:2]) == (0, 1):
+            return np.asarray(c.pose, np.float64)
+    raise RuntimeError("pair (0,1) not in gt.log")
+
+
+def build_workdir(workdir: str, pairs_per_epoch: int):
+    """Reference-layout training root: fragments in one world frame (the
+    overlap-list contract, `lib/data_loaders.py:234-291`), images alongside,
+    CWD-relative config/*.txt split lists."""
+    from imfnet_tpu.geom.ply import read_ply, write_ply
+
+    frag = os.path.join(workdir, "root", "frag")
+    os.makedirs(frag, exist_ok=True)
+    os.makedirs(os.path.join(workdir, "overlaps"), exist_ok=True)
+    os.makedirs(os.path.join(workdir, "config"), exist_ok=True)
+
+    T = redkitchen_gt_pose()
+    p0 = read_ply(os.path.join(REF_FILES, "cloud_bin_0.ply"))["points"]
+    p1 = read_ply(os.path.join(REF_FILES, "cloud_bin_1.ply"))["points"]
+    p1w = p1 @ T[:3, :3].T + T[:3, 3]
+    write_ply(os.path.join(frag, "cloud_bin_0.ply"), p0.astype(np.float32))
+    write_ply(os.path.join(frag, "cloud_bin_1.ply"), p1w.astype(np.float32))
+    for k in (0, 1):
+        shutil.copy(os.path.join(REF_FILES, f"cloud_bin_{k}_0.png"),
+                    os.path.join(frag, f"cloud_bin_{k}_0.png"))
+
+    line = "frag/cloud_bin_0.ply frag/cloud_bin_1.ply 0.74\n"
+    with open(os.path.join(workdir, "overlaps",
+                           "redkitchen-sample-0.30.txt"), "w") as f:
+        f.write(line * pairs_per_epoch)
+    for split in ("train", "val"):
+        with open(os.path.join(workdir, "config",
+                               f"{split}_3dmatch.txt"), "w") as f:
+            f.write("redkitchen-sample\n")
+    return T
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--pairs-per-epoch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--max-points", type=int, default=24576)
+    ap.add_argument("--workdir", default="/tmp/real_pair_run")
+    ap.add_argument("--out", default="real_pair.json")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing run dir (debugging)")
+    args = ap.parse_args()
+
+    run_dir = os.path.join(args.workdir, "run")
+    T_gt = build_workdir(args.workdir, args.pairs_per_epoch)
+
+    # APPEND to PYTHONPATH: the TPU (axon) PJRT plugin registers through a
+    # sitecustomize on the inherited PYTHONPATH — overwriting it would leave
+    # the subprocess without a TPU backend
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if not args.skip_train:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        cmd = [sys.executable, "-m", "imfnet_tpu.cli", "train",
+               "--dataset", "3dmatch",
+               "--threed-match-dir", os.path.join(args.workdir, "root"),
+               "--overlap-path", os.path.join(args.workdir, "overlaps"),
+               "--out-dir", run_dir,
+               "--batch-size", "1",
+               "--max-epoch", str(args.epochs),
+               "--lr", str(args.lr),
+               "--max-points", str(args.max_points)]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, cwd=args.workdir, env=env, check=True)
+
+    # 1. the trainer's own validation curve
+    by_step = {}
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for ln in f:
+            rec = json.loads(ln)
+            if rec["tag"].startswith("val/"):
+                by_step.setdefault(rec["step"], {"epoch": rec["step"]})[
+                    rec["tag"][4:]] = rec["value"]
+    curve = [by_step[s] for s in sorted(by_step)]
+
+    ckpts = sorted(glob.glob(os.path.join(run_dir, "best_val_checkpoint*"))
+                   or glob.glob(os.path.join(run_dir, "checkpoint*")))
+    ckpt = ckpts[-1]
+    print("checkpoint:", ckpt, flush=True)
+
+    # 2. independent registration of the ORIGINAL fragments vs the gt pose
+    import jax
+    import jax.numpy as jnp
+    from imfnet_tpu.cli import _load_model_and_vars
+    from imfnet_tpu.eval.extract import make_extractor, pad_points
+    from imfnet_tpu.eval.registration import make_pair_registration
+    from imfnet_tpu.geom.image import load_image, process_image
+    from imfnet_tpu.geom.ply import read_ply
+
+    model, variables, config = _load_model_and_vars(ckpt)
+    extract = make_extractor(model, variables, config=config,
+                             n_pad=args.max_points)
+    feats = []
+    for k in (0, 1):
+        pts = read_ply(os.path.join(REF_FILES, f"cloud_bin_{k}.ply"))["points"]
+        img = process_image(
+            load_image(os.path.join(REF_FILES, f"cloud_bin_{k}_0.png")),
+            config.image_H, config.image_W)
+        raw, n_raw = pad_points(pts.astype(np.float32), 1 << 18)
+        xyz_down, f, n = extract(jnp.asarray(raw), n_raw,
+                                 jnp.asarray(img)[None])
+        feats.append((xyz_down, f, n))
+    register = make_pair_registration(voxel_size=config.voxel_size)
+    # source = fragment 1 (gt maps 1 -> 0's frame)
+    m = register(jax.random.PRNGKey(0),
+                 feats[1][0], feats[1][1], feats[1][2],
+                 feats[0][0], feats[0][1], feats[0][2],
+                 jnp.asarray(T_gt, jnp.float32),
+                 jnp.eye(6, dtype=jnp.float32))
+    final = {k: float(np.asarray(v)) for k, v in m.items()}
+    print("final registration:", json.dumps(final), flush=True)
+
+    # 3. DAM on the trained checkpoint (reference dam.py demo)
+    dam_ply = os.path.join(args.workdir, "dam_head_map.ply")
+    dam_png = os.path.join(args.workdir, "dam_image_overlay.png")
+    subprocess.run(
+        [sys.executable, "-m", "imfnet_tpu.cli", "dam",
+         "--checkpoint", ckpt,
+         "--ply", os.path.join(REF_FILES, "cloud_bin_0.ply"),
+         "--image", os.path.join(REF_FILES, "cloud_bin_0_0.png"),
+         "--point", "780", "--out", dam_ply, "--image-out", dam_png],
+        cwd=args.workdir, env=env, check=True)
+
+    out = {
+        "gt_scene": "7-scenes-redkitchen pair (0,1)",
+        "epochs": args.epochs,
+        "pairs_per_epoch": args.pairs_per_epoch,
+        "val_curve": curve,
+        "final_registration": final,
+        "success": bool(final["rre"] < 15.0 and final["rte"] < 0.3),
+        "dam_ply_bytes": os.path.getsize(dam_ply),
+        "dam_overlay_bytes": os.path.getsize(dam_png),
+        "checkpoint": ckpt,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in
+                      ("success", "final_registration")}), flush=True)
+    print("written to", args.out)
+
+
+if __name__ == "__main__":
+    main()
