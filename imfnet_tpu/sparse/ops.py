@@ -264,14 +264,22 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     spread exceeds the static width, lax.cond falls back to _flat_apply —
     a speed penalty, never a correctness one.
     """
-    n_in = x.shape[0]
+    n_in, cin = x.shape
     n_out, k = nbr.shape
     B, W = _band_plan(n_out, n_in, k)
-    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B)
+    # lane-pack P = 128/cin input rows per table row when cin divides 128:
+    # the selection matmul and window DMA shrink P× (see _kernel_merged).
+    # The packed width keeps the same original-row spread budget plus
+    # alignment slack (packed starts are 8-packed-row = 8P-row aligned).
+    pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
+    if pack > 1:
+        W = max(W // pack + 8, 32)
+    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B, pack=pack)
     return jax.lax.cond(
         exact,
         lambda: banded_conv_pallas_planned(x, nbr_p, starts, w, n_out,
-                                           kz=kz, block=B, width=W),
+                                           kz=kz, block=B, width=W,
+                                           pack=pack),
         lambda: _flat_apply(x, nbr, w))
 
 

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel_merged(ncol: int, kz: int, width: int,
+def _kernel_merged(ncol: int, kz: int, width: int, pack: int, cin: int,
                    starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win, selbuf,
                    sem):
     """Variant of _kernel: stage all k selections into one VMEM buffer and
@@ -41,13 +41,25 @@ def _kernel_merged(ncol: int, kz: int, width: int,
     accumulated [B, cp] @ [cp, cout] matmuls — k-1 fewer MXU ops per block
     (small-matmul issue overhead dominates at these sizes).
 
-    wf_ref : VMEM [k*cp, cout]   weights flattened on the host side
+    With ``pack`` = P > 1, the feature table is LANE-PACKED: P consecutive
+    input rows (cin lanes each, P*cin == 128) share one 128-lane packed row,
+    so the window DMA moves P× fewer bytes and the one-hot selection matmul
+    contracts a P× shorter axis — the dominant cost of this kernel for
+    cin < 128 (selection FLOPs scale with window rows, not with cin).
+    Selecting packed row t>>log2(P) yields all P interleaved sub-rows; a
+    per-row lane-group mask (built by a tiny [P,B]×[P,128] one-hot matmul —
+    MXU, exact) zeroes the P-1 wrong groups, and the weight matrix is tiled
+    P× along its input axis so every group position applies the same
+    weights. Packing changes DMA/selection cost only; the math is exact.
+
+    wf_ref : VMEM [k*cp, cout]   weights flattened (pack-tiled) on the host
     selbuf : VMEM [B, k*cp]      staged selections (compute dtype)
     """
     i = pl.program_id(0)
     B = nbrt_ref.shape[1]
     cp = win.shape[2]
     dt = win.dtype
+    shift = pack.bit_length() - 1                        # pack is 2**shift
 
     def dma(slot, col):
         s = pl.multiple_of(starts_ref[i, col], 8)
@@ -56,6 +68,12 @@ def _kernel_merged(ncol: int, kz: int, width: int,
 
     dma(0, 0).start()
     iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+    if pack > 1:
+        # E[p, l] = 1 iff lane l belongs to group p (constant, loop-hoisted)
+        lane_grp = jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 1) // cin
+        grp_iota = jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 0)
+        E = (lane_grp == grp_iota).astype(dt)            # [P, 128]
+        grp_rows = jax.lax.broadcasted_iota(jnp.int32, (pack, B), 0)
     for col in range(ncol):
         slot = col % 2
         if col + 1 < ncol:
@@ -64,14 +82,81 @@ def _kernel_merged(ncol: int, kz: int, width: int,
         start = starts_ref[i, col]
         for d in range(kz):
             j = col * kz + d
-            loc = nbrt_ref[j:j + 1, :] - start           # [1,B]; <0 if none
+            t = nbrt_ref[j:j + 1, :]                     # [1,B]; -1 if none
+            if pack > 1:
+                tp = jax.lax.shift_right_arithmetic(t, shift)
+                loc = tp - start                         # packed-row offset
+            else:
+                loc = t - start
             oh = (iota == loc).astype(dt)                # [width, B]
             sel = jax.lax.dot_general(                   # [B, cp]
                 oh, win[slot], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if pack > 1:
+                # mask lanes to this row's group: (-1 rows select nothing
+                # already — their one-hot column is all zero)
+                ohg = (grp_rows == (t & (pack - 1))).astype(dt)   # [P, B]
+                m = jax.lax.dot_general(                 # [B, 128]
+                    ohg, E, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = sel * m
             selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
     out_ref[:] = jax.lax.dot_general(                    # [B, cout]
         selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
+                     starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win,
+                     selbuf, sem):
+    """Transposed-selection variant of _kernel_merged for pack > 1: the
+    selection matmul contracts into [cp, B] (features on sublanes, rows on
+    lanes), so the per-row lane-group mask is a pure VPU compare of a
+    sublane iota against the [1, B] group row — no transpose, no mask
+    matmul (the K=pack mask matmul wastes a full MXU pass per offset in
+    _kernel_merged; measured +70% on the L0 32ch conv). selbuf is
+    [k*cp, B]; the final weight GEMM contracts axis 0 of both operands,
+    same as the selection matmuls.
+
+    A column-batched variant (one [width, kz*B] one-hot per column, kz×
+    fewer MXU issues) was measured SLOWER (L0 32ch 2.18 → 2.49 ms, pack=1
+    64ch 2.98 → 4.46): the [cp, kz*B] f32 selection intermediate spills —
+    per-offset [cp, B] tiles stay register-resident.
+    """
+    i = pl.program_id(0)
+    B = nbrt_ref.shape[1]
+    cp = win.shape[2]
+    dt = win.dtype
+    shift = pack.bit_length() - 1
+
+    def dma(slot, col):
+        s = pl.multiple_of(starts_ref[i, col], 8)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+    # lane-group of each sublane position, broadcast over B lanes
+    sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
+    for col in range(ncol):
+        slot = col % 2
+        if col + 1 < ncol:
+            dma(slot ^ 1, col + 1).start()
+        dma(slot, col).wait()
+        start = starts_ref[i, col]
+        for d in range(kz):
+            j = col * kz + d
+            t = nbrt_ref[j:j + 1, :]                     # [1,B]; -1 if none
+            tp = jax.lax.shift_right_arithmetic(t, shift)
+            loc = tp - start
+            oh = (iota == loc).astype(dt)                # [width, B]
+            sel = jax.lax.dot_general(                   # [cp, B]
+                win[slot], oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
+            selbuf[j * cp:(j + 1) * cp, :] = (sel * m).astype(dt)
+    out_ref[:] = jax.lax.dot_general(                    # [B, cout]
+        selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -124,7 +209,7 @@ def _kernel(ncol: int, kz: int, width: int,
 
 
 def plan_windows(nbr: jax.Array, kz: int, width: int, n_in: int,
-                 block: int = 256):
+                 block: int = 256, pack: int = 1):
     """Per-block per-column window starts + in-graph exactness check.
 
     Returns (nbr_padded int32[nb*block, k], starts int32[nb, ncol],
@@ -133,6 +218,10 @@ def plan_windows(nbr: jax.Array, kz: int, width: int, n_in: int,
     rows, so callers run it under ``lax.cond(exact, ...)`` with a gather
     fallback (ops._apply). Window starts are 8-row aligned for DMA
     friendliness, so the effective spread budget is width - 7.
+
+    With ``pack`` = P > 1, starts/width/exact are all in PACKED rows
+    (P input rows per 128-lane table row — see _kernel_merged): one packed
+    width row covers P original rows, so the spread budget is ~(width-8)*P.
     """
     n_out, k = nbr.shape
     ncol = k // kz
@@ -144,11 +233,16 @@ def plan_windows(nbr: jax.Array, kz: int, width: int, n_in: int,
             [nbr, jnp.full((nb * B - n_out, k), -1, jnp.int32)], 0)
     t = nbr.reshape(nb, B, ncol, kz)
     valid = t >= 0
+    if pack > 1:
+        t = jnp.where(valid, t // pack, t)
+        n_hi = -(-n_in // pack)
+    else:
+        n_hi = n_in
     big = jnp.int32(1 << 30)
     tmin = jnp.min(jnp.where(valid, t, big), axis=(1, 3))        # [nb, ncol]
     tmax = jnp.max(jnp.where(valid, t, -1), axis=(1, 3))
     has = tmin != big
-    starts = jnp.where(has, jnp.clip(tmin & ~7, 0, n_in), 0)
+    starts = jnp.where(has, jnp.clip(tmin & ~7, 0, n_hi), 0)
     exact = jnp.all(jnp.where(has, tmax - starts < width, True))
     return nbr, starts, exact
 
@@ -163,11 +257,19 @@ def banded_conv_pallas_planned(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
+    pack: int = 1,
+    sel_t: bool = True,
     merged: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """The kernel invocation half of banded_conv_pallas: assumes
-    plan_windows said exact=True (callers guard with lax.cond)."""
+    plan_windows said exact=True (callers guard with lax.cond).
+
+    ``pack`` = P > 1 (requires P a power of two, P*cin == 128, merged=True,
+    and plan_windows called with the same pack): lane-pack P input rows per
+    128-lane table row — P× less window DMA and P× fewer selection FLOPs
+    (see _kernel_merged). ``width`` is then in packed rows.
+    """
     n_in, cin = x.shape
     k = nbr.shape[1]
     cout = w.shape[2]
@@ -175,26 +277,47 @@ def banded_conv_pallas_planned(
     B = block
     nb = nbr.shape[0] // B
 
-    # lane-pad cin to a multiple of 128: HBM window DMAs must be 128-aligned
-    # on the lane axis, and the MXU charges N=128 per matmul tile anyway —
-    # padding costs only window-DMA bytes, never MXU time. Zero feature
-    # lanes x zero weight rows contribute zero, so the math is unchanged.
-    cp = -(-cin // 128) * 128
-    if cp != cin:
-        x = jnp.pad(x, ((0, 0), (0, cp - cin)))
-        w = jnp.pad(w, ((0, 0), (0, cp - cin), (0, 0)))
-    # window DMAs may run past n_in: back the table with `width` zero rows
+    if pack > 1:
+        assert merged and pack & (pack - 1) == 0 and pack * cin == 128, \
+            (pack, cin)
+        # lane-pack: P consecutive rows share one 128-lane row
+        n_p = -(-n_in // pack) * pack
+        if n_p != n_in:
+            x = jnp.pad(x, ((0, n_p - n_in), (0, 0)))
+        x = x.reshape(n_p // pack, 128)
+        cp = 128
+    else:
+        # lane-pad cin to a multiple of 128: HBM window DMAs must be
+        # 128-aligned on the lane axis, and the MXU charges N=128 per matmul
+        # tile anyway — padding costs only window-DMA bytes, never MXU time.
+        # Zero feature lanes x zero weight rows contribute zero.
+        cp = -(-cin // 128) * 128
+        if cp != cin:
+            x = jnp.pad(x, ((0, 0), (0, cp - cin)))
+            w = jnp.pad(w, ((0, 0), (0, cp - cin), (0, 0)))
+    # window DMAs may run past the table end: back it with `width` zero rows
     x_pad = jnp.concatenate([x, jnp.zeros((width, cp), x.dtype)], 0)
-    nbr_t = nbr.T                                        # [k, nb*B]
 
     scratch = [
         pltpu.VMEM((2, width, cp), x.dtype),
     ]
+    nbr_t = nbr.T                                        # [k, nb*B]
+    nbr_block = (k, B)
     if merged:
-        scratch.append(pltpu.VMEM((B, k * cp), x.dtype))
-        kern = functools.partial(_kernel_merged, ncol, kz, width)
-        w_in = w.reshape(k * cp, cout)
+        if pack > 1 and sel_t:
+            scratch.append(pltpu.VMEM((k * cp, B), x.dtype))
+            kern = functools.partial(_kernel_merged_t, ncol, kz, width,
+                                     pack, cin)
+        else:
+            scratch.append(pltpu.VMEM((B, k * cp), x.dtype))
+            kern = functools.partial(_kernel_merged, ncol, kz, width,
+                                     pack, cin)
+        # pack-tile the weights along cin so every lane group applies the
+        # same W (wrong groups are zero-masked in the kernel)
+        w_in = (jnp.tile(w, (1, pack, 1)) if pack > 1 else w).reshape(
+            k * cp, cout)
     else:
+        assert pack == 1
         kern = functools.partial(_kernel, ncol, kz, width)
         w_in = w
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -202,7 +325,7 @@ def banded_conv_pallas_planned(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((k, B), lambda i, s: (0, i),
+            pl.BlockSpec(nbr_block, lambda i, s: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -225,8 +348,8 @@ def banded_conv_pallas_planned(
     return out[:n_out]
 
 
-@functools.partial(jax.jit, static_argnames=("kz", "block", "width",
-                                             "merged", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kz", "block", "width", "pack",
+                                             "sel_t", "merged", "interpret"))
 def banded_conv_pallas(
     x: jax.Array,           # [n_in, cin] compute dtype
     nbr: jax.Array,         # int32[n_out, k], -1 = missing
@@ -235,17 +358,21 @@ def banded_conv_pallas(
     kz: int = 3,
     block: int = 256,
     width: int = 512,
+    pack: int = 1,
+    sel_t: bool = True,
     merged: bool = True,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """plan_windows + kernel in one call. Returns (out f32[n_out, cout],
     exact bool[]); out is garbage for overflowing blocks when exact is
     False — production callers go through ops._apply, which plans first and
-    only runs the kernel under lax.cond(exact)."""
+    only runs the kernel under lax.cond(exact). ``width`` is in packed rows
+    when pack > 1."""
     n_out = nbr.shape[0]
     nbr_p, starts, exact = plan_windows(nbr, kz, width, x.shape[0],
-                                        block=block)
+                                        block=block, pack=pack)
     out = banded_conv_pallas_planned(x, nbr_p, starts, w, n_out, kz=kz,
-                                     block=block, width=width, merged=merged,
+                                     block=block, width=width, pack=pack,
+                                     sel_t=sel_t, merged=merged,
                                      interpret=interpret)
     return out, exact

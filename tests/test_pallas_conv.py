@@ -52,6 +52,39 @@ def test_pallas_conv_matches_oracle(shape):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("cin,pack", [(32, 4), (64, 2), (16, 8)])
+def test_pallas_conv_lane_packed_matches_oracle(cin, pack):
+    """pack=P lane-packs P rows per 128-lane table row (P*cin == 128):
+    P× less selection work, bit-identical semantics."""
+    rng = np.random.RandomState(4)
+    n_in, n_out, cout = 700, 700, 48
+    x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(27, cin, cout) * 0.05).astype(np.float32))
+    nbr = _banded_map(rng, n_in, n_out, 27, 3)
+    out, exact = banded_conv_pallas(x, nbr, w, kz=3, width=512 // pack + 8,
+                                    pack=pack, interpret=True)
+    assert bool(exact)
+    ref = _oracle(x, nbr, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_conv_packed_missing_rows():
+    rng = np.random.RandomState(5)
+    n = 300
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(27, 32, 32).astype(np.float32) * 0.05)
+    nbr = np.asarray(_banded_map(rng, n, n, 27, 3)).copy()
+    nbr[10] = -1
+    out, exact = banded_conv_pallas(x, jnp.asarray(nbr), w, kz=3, width=136,
+                                    pack=4, interpret=True)
+    assert bool(exact)
+    assert float(jnp.max(jnp.abs(out[10]))) == 0.0
+    ref = _oracle(x, jnp.asarray(nbr), w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_conv_overflow_flag():
     """A window spread beyond `width` must clear the exact flag (the caller
     falls back via lax.cond — ops._apply)."""
