@@ -251,6 +251,15 @@ def _banded_apply(x, nbr, w, kz: int, block: int | None = None,
     return jax.lax.cond(exact, banded, lambda: _flat_apply(x, nbr, w))
 
 
+# Per-conv plan overrides for the Pallas banded conv, keyed by
+# (mode, cin) with mode in {"same", "down", "up"} → (block, width, sel_t).
+# width is in PACKED rows when a pack factor applies. Empty by default —
+# _band_plan's measured plan rules; scripts_dev/sweep_packed_plan.py sets
+# entries while searching, and measured winners get folded back into
+# _band_plan.
+PLAN_OVERRIDES: dict[tuple[str, int], tuple[int, int, bool]] = {}
+
+
 def _pallas_banded_apply(x, nbr, w, kz: int):
     """Windowed one-hot selection fully inside a Pallas kernel
     (sparse/pallas_conv.py): per output block, per (dx, dy) column, DMA one
@@ -274,12 +283,16 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
     if pack > 1:
         W = max(W // pack + 8, 32)
+    sel_t = True
+    mode = "same" if n_out == n_in else ("down" if n_out < n_in else "up")
+    if (mode, cin) in PLAN_OVERRIDES:
+        B, W, sel_t = PLAN_OVERRIDES[(mode, cin)]
     nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B, pack=pack)
     return jax.lax.cond(
         exact,
         lambda: banded_conv_pallas_planned(x, nbr_p, starts, w, n_out,
                                            kz=kz, block=B, width=W,
-                                           pack=pack),
+                                           pack=pack, sel_t=sel_t),
         lambda: _flat_apply(x, nbr, w))
 
 

@@ -98,6 +98,49 @@ def test_kabsch_batched(rng):
     np.testing.assert_allclose(Te, Ts, atol=1e-3)
 
 
+def test_kabsch_closed_form_matches_eigh(rng):
+    """power_iters=0 (closed-form quartic eigensolver) must align noisy
+    3-point samples — the RANSAC hypothesis-fit regime where the shifted
+    power method needed 24 iterations — as well as an exact dense eigh:
+    identical alignment residual up to f32 conditioning."""
+    batch = 512
+    src = rng.randn(batch, 3, 3).astype(np.float32)
+    Ts = np.stack([random_rigid(rng) for _ in range(batch)])
+    dst = (np.einsum("bij,bnj->bni", Ts[:, :3, :3], src)
+           + Ts[:, None, :3, 3]).astype(np.float32)
+    dst += rng.randn(*dst.shape).astype(np.float32) * 0.05
+    # some near-degenerate (near-collinear) samples — the hard regime
+    src[: batch // 4, 2] = (src[: batch // 4, 0]
+                            + 1e-3 * rng.randn(batch // 4, 3))
+    dst[: batch // 4, 2] = (dst[: batch // 4, 0]
+                            + 1e-3 * rng.randn(batch // 4, 3))
+
+    Tc = np.asarray(kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst),
+                                   power_iters=0))
+
+    def resid(T):
+        m = np.einsum("bij,bnj->bni", T[:, :3, :3], src) + T[:, None, :3, 3]
+        return np.sqrt(((m - dst) ** 2).sum(-1).mean(-1))
+
+    # exact-SVD Kabsch oracle (float64)
+    ms = src.mean(1, keepdims=True).astype(np.float64)
+    md = dst.mean(1, keepdims=True).astype(np.float64)
+    H = np.einsum("bni,bnj->bij", src - ms, dst - md)
+    U, _, Vt = np.linalg.svd(H)
+    V, Ut = np.transpose(Vt, (0, 2, 1)), np.transpose(U, (0, 2, 1))
+    det = np.linalg.det(np.einsum("bij,bjk->bik", V, Ut))
+    S = np.tile(np.eye(3), (batch, 1, 1))
+    S[:, 2, 2] = det
+    Ro = np.einsum("bij,bjk,bkl->bil", V, S, Ut)
+    To = np.tile(np.eye(4), (batch, 1, 1))
+    To[:, :3, :3] = Ro
+    To[:, :3, 3] = md[:, 0] - np.einsum("bij,bj->bi", Ro, ms[:, 0])
+    rc, ro = resid(Tc), resid(To)
+    # closed form must match the exact solver's residual everywhere
+    assert np.max(rc - ro) < 5e-3, float(np.max(rc - ro))
+    assert np.mean(rc) <= np.mean(ro) * 1.02 + 1e-6
+
+
 def test_ransac_recovers_pose_with_outliers(rng):
     T = random_rigid(rng)
     n = 500
