@@ -64,6 +64,7 @@ def ransac_registration(
     edge_length_ratio: float = 0.9,
     hypo_block: int = 12500,
     refine: bool = True,
+    fit_power_iters: int = 0,
 ) -> RansacResult:
     c = src.shape[0]
     src = src.astype(jnp.float32)
@@ -99,16 +100,17 @@ def ransac_registration(
                 ratio2 = edge_length_ratio ** 2
                 edge_ok &= (ls2 > ratio2 * ld2) & (ld2 > ratio2 * ls2)
         # degenerate duplicate picks → zero edges fail the checker already.
-        # power_iters=24 (12 matrix squarings): noisy 3-point fits have a
-        # near-degenerate Horn eigengap after the positivity shift, and 10
-        # iters (5 squarings) lost HALF the good samples — success prob
-        # 0.505 vs the o3d oracle's 0.69 at 3% inliers; 24 reaches exact-SVD
-        # parity (scripts_dev/ransac_power.py, round 3). The extra
-        # squarings are [B]-wide VPU ops, ~free next to the checkers.
+        # fit_power_iters=0 → the closed-form quartic eigensolver: exact
+        # λmax with no eigengap sensitivity. History: noisy 3-point fits
+        # have a near-degenerate Horn eigengap after the positivity shift,
+        # and 10 power iters (5 squarings) lost HALF the good samples —
+        # success prob 0.505 vs the o3d oracle's 0.69 at 3% inliers; 24
+        # iters reached exact-SVD parity and the closed form matches it
+        # with ~5x fewer VPU ops (scripts_dev/ransac_power.py, round 3).
         # All hypothesis transforms stay in SoA component form ([B] arrays):
         # a [B,4,4] tensor pads its minor dims to full TPU tiles and the
         # einsum-style checkers were 4x the cost of the whole fit
-        R, t3 = kabsch_umeyama_soa(s, d, power_iters=24)
+        R, t3 = kabsch_umeyama_soa(s, d, power_iters=fit_power_iters)
         # --- distance checker on the sampled correspondences ---
         samp_ok = jnp.ones((hypo_block,), bool)
         for p in range(ransac_n):

@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--ratios", type=float, nargs="+",
                     default=[0.05, 0.1, 0.2, 0.3, 0.5])
     ap.add_argument("--hypotheses", type=int, default=50000)
+    ap.add_argument("--fit-iters", type=int, default=0,
+                    help="0 = closed-form quartic eigensolver")
     ap.add_argument("--out", default="ransac_power.json")
     args = ap.parse_args()
 
@@ -92,7 +94,8 @@ def main():
             t0 = time.perf_counter()
             res = ransac_registration(
                 jax.random.PRNGKey(trial), jnp.asarray(src), jnp.asarray(dst),
-                valid, thr, ransac_n=3, num_hypotheses=args.hypotheses)
+                valid, thr, ransac_n=3, num_hypotheses=args.hypotheses,
+                fit_power_iters=args.fit_iters)
             ours += success(T, res.transformation)
             t_ours += time.perf_counter() - t0
             t0 = time.perf_counter()

@@ -82,7 +82,8 @@ def test_real_pair_cli_train_loop(tmp_path):
                  feats[0][0], feats[0][1], feats[0][2],
                  jnp.asarray(redkitchen_gt_pose(), jnp.float32),
                  jnp.eye(6, dtype=jnp.float32))
-    out = {k: float(np.asarray(v)) for k, v in m.items()}
+    out = {k: float(np.asarray(v)) for k, v in m.items()
+           if np.asarray(v).size == 1}
     # 2 epochs is not converged — gate on the loop being wired, not quality
     assert np.isfinite(out["rre"]) and np.isfinite(out["rte"]), out
     assert 0.0 <= out["ir"] <= 1.0, out
