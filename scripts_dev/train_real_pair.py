@@ -155,10 +155,12 @@ def main():
                                  jnp.asarray(img)[None])
         feats.append((xyz_down, f, n))
     register = make_pair_registration(voxel_size=config.voxel_size)
-    # source = fragment 1 (gt maps 1 -> 0's frame)
+    # register_kp convention: T_gt maps SIDE-1 -> SIDE-0, so fragment 0
+    # is side 0 and fragment 1 side 1 (the gt.log pose maps 1 -> 0's
+    # frame). RANSAC internally seeds from side 0 and inverts.
     m = register(jax.random.PRNGKey(0),
-                 feats[1][0], feats[1][1], feats[1][2],
                  feats[0][0], feats[0][1], feats[0][2],
+                 feats[1][0], feats[1][1], feats[1][2],
                  jnp.asarray(T_gt, jnp.float32),
                  jnp.eye(6, dtype=jnp.float32))
     final = {k: float(np.asarray(v)) for k, v in m.items()

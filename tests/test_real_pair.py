@@ -77,9 +77,11 @@ def test_real_pair_cli_train_loop(tmp_path):
     register = make_pair_registration(
         voxel_size=config.voxel_size, num_keypoints=1024,
         num_hypotheses=2048, hypo_block=1024)
+    # register_kp convention: T_gt maps SIDE-1 -> SIDE-0 (fragment 0 is
+    # side 0; the gt.log pose maps fragment 1 into fragment 0's frame)
     m = register(jax.random.PRNGKey(0),
-                 feats[1][0], feats[1][1], feats[1][2],
                  feats[0][0], feats[0][1], feats[0][2],
+                 feats[1][0], feats[1][1], feats[1][2],
                  jnp.asarray(redkitchen_gt_pose(), jnp.float32),
                  jnp.eye(6, dtype=jnp.float32))
     out = {k: float(np.asarray(v)) for k, v in m.items()
