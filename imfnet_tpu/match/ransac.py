@@ -83,12 +83,20 @@ def ransac_registration(
     sub_dst = jnp.take(dst, sub_rows, axis=0)
     sub_valid = jnp.take(valid, sub_rows)
 
+    # Pre-compact src|dst into ONE 6-wide table in compact order: the
+    # per-hypothesis sampling then costs a single row gather per sample
+    # instead of three (comp indirection, src, dst) — row gathers at these
+    # counts (num_hypotheses * ransac_n per block) are the dominant
+    # RANSAC cost on TPU, not the fit or the checkers.
+    sd_c = jnp.concatenate([jnp.take(src, comp, axis=0),
+                            jnp.take(dst, comp, axis=0)], axis=1)   # [C,6]
+
     def eval_block(key_b):
         # --- sample ransac_n distinct-ish correspondences per hypothesis ---
         r = jax.random.randint(key_b, (hypo_block, ransac_n), 0, jnp.maximum(n_valid, 1))
-        idx = jnp.take(comp, r)                      # [B,n] rows into src/dst
-        s = jnp.take(src, idx, axis=0)               # [B,n,3]
-        d = jnp.take(dst, idx, axis=0)
+        sd = jnp.take(sd_c, r, axis=0)               # [B,n,6]
+        s = sd[..., :3]                              # [B,n,3]
+        d = sd[..., 3:]
         # --- edge-length checker (both directions, o3d ratio 0.9) ---
         # unrolled over the n(n-1)/2 edges: [B]-wide vector ops, no padded
         # [B,n,n,3] minor dims
