@@ -141,7 +141,7 @@ def cmd_dam(args):
         save_dam_image_overlay,
         save_dam_ply,
     )
-    from imfnet_tpu.eval.extract import pad_points
+    from imfnet_tpu.eval.extract import pad_points_bucketed
     from imfnet_tpu.geom.image import load_image, process_image
     from imfnet_tpu.geom.ply import read_ply
     from imfnet_tpu.sparse.grid import GridSpec, quantize_grid
@@ -150,9 +150,9 @@ def cmd_dam(args):
     model, variables, config = _load_model_and_vars(args.checkpoint)
     points = read_ply(args.ply)["points"].astype(np.float32)
     image = process_image(load_image(args.image), config.image_H, config.image_W)
-    n_raw_pad = 1 << 18
     n_pad = 1 << 15
-    raw, n_raw = pad_points(points, n_raw_pad)
+    raw, n_raw = pad_points_bucketed(points)
+    n_raw_pad = len(raw)
     spec = GridSpec(extent=tuple(config.grid_extent), num_batches=1)
     sv, _, xyz_down = quantize_grid(
         jnp.asarray(raw), jnp.ones((n_raw_pad, 1), jnp.float32),

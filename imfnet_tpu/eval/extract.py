@@ -25,15 +25,53 @@ from imfnet_tpu.train.step import make_pyramid_fn
 
 
 def pad_points(xyz: np.ndarray, n_raw_pad: int) -> Tuple[np.ndarray, int]:
-    """Pad raw points to a static bucket (subsamples if over capacity)."""
+    """Pad raw points to a static bucket.
+
+    Subsampling on overflow is a LOUD last resort, never silent: the
+    reference quantizes ALL raw points (`util/misc.py:82-87`), and on the
+    published-benchmark path dropped points also orphan saved keypoints
+    (drawn from the full raw array, then voxel-hash-mapped against
+    descriptors). Benchmark callers should use :func:`pad_points_bucketed`
+    so real 3DMatch fragments (commonly >2^18 points) keep every point."""
     n = len(xyz)
     if n > n_raw_pad:
+        logging.warning(
+            "pad_points: fragment has %d raw points but the static bucket "
+            "holds %d — randomly subsampling %d points. Descriptors and "
+            "keypoint voxel-hash mapping will NOT cover the dropped points; "
+            "use pad_points_bucketed / a larger bucket for exact results.",
+            n, n_raw_pad, n - n_raw_pad)
         sel = np.random.RandomState(0).choice(n, n_raw_pad, replace=False)
         xyz = xyz[sel]
         n = n_raw_pad
     out = np.zeros((n_raw_pad, 3), np.float32)
     out[:n] = xyz
     return out, n
+
+
+# Raw-point shape buckets for published-benchmark extraction: fine 2^15
+# steps through the 3DMatch range (fragments commonly land just above 2^18
+# — the reference's own sample is 268,977 points), coarser above. Only
+# buckets actually hit cost a quantize compile.
+RAW_BUCKETS = (
+    1 << 17, 1 << 18, 294912, 327680, 360448, 393216, 458752,
+    1 << 19, 786432, 1 << 20,
+)
+
+
+def pad_points_bucketed(
+    xyz: np.ndarray, raw_buckets=RAW_BUCKETS
+) -> Tuple[np.ndarray, int]:
+    """Pad raw points to the smallest bucket that holds them ALL — no
+    subsampling unless the fragment exceeds the largest configured bucket
+    (then :func:`pad_points` subsamples with a loud warning). This is the
+    benchmark-path entry: `generate_descriptors` must quantize every raw
+    point like the reference (`util/misc.py:82-87`)."""
+    n = len(xyz)
+    for b in sorted(raw_buckets):
+        if n <= b:
+            return pad_points(xyz, b)
+    return pad_points(xyz, max(raw_buckets))
 
 
 def _span_fits_grid(xyz_raw, n_raw, voxel_size: float, extent) -> bool:

@@ -25,7 +25,7 @@ from imfnet_tpu.config import Config
 from imfnet_tpu.geom.image import load_image, process_image
 from imfnet_tpu.geom.ply import read_ply
 from imfnet_tpu.geom.trajectory import read_info_file, read_log
-from imfnet_tpu.eval.extract import pad_points
+from imfnet_tpu.eval.extract import pad_points_bucketed
 from imfnet_tpu.eval.registration import make_keypoint_registration
 from imfnet_tpu.utils.hashing import voxel_key_rows
 
@@ -66,13 +66,16 @@ def generate_descriptors(
     out_root: str,
     scenes: Optional[List[str]] = None,
     seq_name: str = "seq-01",
-    n_raw_pad: int = 1 << 18,
+    raw_buckets=None,
 ) -> Dict[str, float]:
     """Walk test scenes; per fragment: PLY+image → extract → save
     `.npz{points, xyz, feature}` (`scripts/generate_desc.py:83-123`).
     Returns timing stats ('All Time' / 'AVG' report, :190). Extraction is
-    shape-bucketed: each fragment runs at the smallest padded size that
-    holds its voxel count."""
+    shape-bucketed twice: raw points pad to the smallest RAW_BUCKETS entry
+    that holds the WHOLE fragment (the reference quantizes all raw points,
+    `util/misc.py:82-87` — subsampling would also orphan saved keypoints,
+    which are drawn from the full raw array), and the voxel stage runs at
+    the smallest padded size that holds the fragment's voxel count."""
     from concurrent.futures import ThreadPoolExecutor
 
     from imfnet_tpu.eval.extract import make_bucketed_extractor
@@ -102,7 +105,10 @@ def generate_descriptors(
                 break
         if image is None:
             image = np.zeros((config.image_H, config.image_W, 3), np.float32)
-        raw, n_raw = pad_points(points, n_raw_pad)
+        if raw_buckets is None:
+            raw, n_raw = pad_points_bucketed(points)
+        else:
+            raw, n_raw = pad_points_bucketed(points, raw_buckets)
         return points, raw, n_raw, image, out_path
 
     def save_one(out_path, points, xyz_down, feats):

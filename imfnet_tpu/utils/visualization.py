@@ -50,7 +50,8 @@ def visualize_pair_registration(
     import jax
     import jax.numpy as jnp
 
-    from imfnet_tpu.eval.extract import make_bucketed_extractor, pad_points
+    from imfnet_tpu.eval.extract import (make_bucketed_extractor,
+                                         pad_points_bucketed)
     from imfnet_tpu.eval.registration import make_pair_registration
     from imfnet_tpu.geom.image import load_image, process_image
     from imfnet_tpu.geom.ply import read_ply
@@ -65,7 +66,7 @@ def visualize_pair_registration(
             im = process_image(load_image(img), config.image_H, config.image_W)
         else:
             im = np.zeros((config.image_H, config.image_W, 3), np.float32)
-        raw, n_raw = pad_points(pts, 1 << 18)
+        raw, n_raw = pad_points_bucketed(pts)
         xyz_down, feats = extract(raw, n_raw, jnp.asarray(im[None]))
         sides.append((pts, xyz_down, feats))
 
