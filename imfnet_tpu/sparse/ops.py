@@ -257,7 +257,52 @@ def _banded_apply(x, nbr, w, kz: int, block: int | None = None,
 # _band_plan's measured plan rules; scripts_dev/sweep_packed_plan.py sets
 # entries while searching, and measured winners get folded back into
 # _band_plan.
+#
+# JIT-CACHE CAVEAT: this is process-global state read at TRACE time.
+# Entries added (or changed) after a jitted pipeline has already traced
+# have NO effect on the cached executable — a sweep that mutates this dict
+# must either build a fresh jitted function per entry (what
+# sweep_packed_plan.py does) or call jax.clear_caches() after each
+# mutation, or its timings silently measure the stale plan.
 PLAN_OVERRIDES: dict[tuple[str, int], tuple[int, int, bool]] = {}
+
+
+# Measured plan table for the Pallas banded conv: (mode, cin) →
+# (block, packed_width, sel_t). Widths are in PACKED rows (P = 128/cin
+# rows per 128-lane table row when cin divides 128) and come from the
+# per-block spread statistics on the reference sample pair
+# (scripts_dev/profile_spreads.py, p100 over blocks × ~1.3 margin,
+# rounded to 16) — the previous one-size plans (512/1024/384 unpacked)
+# were 1.5-4× wider than any block needs, and selection cost is linear
+# in width (2·width·B·128 FLOPs per offset per block). A fragment denser
+# than the margin first retries at 2× width (tier-2 kernel), then falls
+# back to _flat_apply — speed penalties, never correctness ones.
+_BAND_PLANS: dict[tuple[str, int], tuple[int, int, bool]] = {
+    ("same", 32): (128, 96, True),
+    ("same", 64): (128, 176, True),
+    ("same", 128): (128, 288, True),
+    ("same", 256): (128, 224, True),
+    ("down", 32): (128, 240, True),
+    ("down", 64): (128, 384, True),
+    ("down", 128): (128, 720, True),
+    ("up", 64): (128, 80, True),
+    ("up", 128): (128, 112, True),
+    ("up", 256): (128, 112, True),
+}
+
+
+def _band_plan_packed(mode: str, cin: int, pack: int,
+                      n_out: int, n_in: int, k: int):
+    """(block, packed_width, sel_t) for a conv: the measured table when the
+    (mode, cin) shape is known, else the generic _band_plan rule converted
+    to packed rows. PLAN_OVERRIDES wins over both (sweep hook)."""
+    if (mode, cin) in PLAN_OVERRIDES:
+        return PLAN_OVERRIDES[(mode, cin)]
+    if (mode, cin) in _BAND_PLANS:
+        return _BAND_PLANS[(mode, cin)]
+    B, W = _band_plan(n_out, n_in, k)
+    Wp = max(W // pack + 8, 32) if pack > 1 else W
+    return B, Wp, True
 
 
 def _pallas_banded_apply(x, nbr, w, kz: int):
@@ -267,33 +312,36 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     the MXU — no gathers, no HBM intermediates (the XLA banded path's cost).
     Measured at bench shapes (proto_pallas_conv.py, TPU v5e, bf16): 32ch
     6.2→3.1 ms, 64ch 5.1→3.1, 128ch 1.78→1.69, 256ch 1.84→1.77, down
-    3.1→2.6, up 5.0→2.6 vs the previous best XLA strategy.
+    3.1→2.6, up 5.0→2.6 vs the previous best XLA strategy; round-4 plan
+    tightening (width from measured spreads, B=128) cuts the selection
+    FLOPs — the forward's dominant cost — by ~2× again.
 
-    Same safety contract as _banded_apply: if any block's per-column window
-    spread exceeds the static width, lax.cond falls back to _flat_apply —
-    a speed penalty, never a correctness one.
+    Safety contract: if any block's per-column window spread exceeds the
+    static width, an in-graph lax.cond retries the SAME kernel at 2× width
+    (tier 2), and only past that falls back to _flat_apply — speed
+    penalties, never correctness ones. The tier-2 branch is what lets the
+    tier-1 widths sit close to the measured p100 spread.
     """
     n_in, cin = x.shape
     n_out, k = nbr.shape
-    B, W = _band_plan(n_out, n_in, k)
     # lane-pack P = 128/cin input rows per table row when cin divides 128:
     # the selection matmul and window DMA shrink P× (see _kernel_merged).
-    # The packed width keeps the same original-row spread budget plus
-    # alignment slack (packed starts are 8-packed-row = 8P-row aligned).
     pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
-    if pack > 1:
-        W = max(W // pack + 8, 32)
-    sel_t = True
     mode = "same" if n_out == n_in else ("down" if n_out < n_in else "up")
-    if (mode, cin) in PLAN_OVERRIDES:
-        B, W, sel_t = PLAN_OVERRIDES[(mode, cin)]
+    B, W, sel_t = _band_plan_packed(mode, cin, pack, n_out, n_in, k)
     nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B, pack=pack)
+    W2 = W * 2
+    _, _, exact2 = plan_windows(nbr, kz, W2, n_in, block=B, pack=pack)
+
+    def tier(width):
+        return lambda: banded_conv_pallas_planned(
+            x, nbr_p, starts, w, n_out, kz=kz, block=B, width=width,
+            pack=pack, sel_t=sel_t)
+
     return jax.lax.cond(
-        exact,
-        lambda: banded_conv_pallas_planned(x, nbr_p, starts, w, n_out,
-                                           kz=kz, block=B, width=W,
-                                           pack=pack, sel_t=sel_t),
-        lambda: _flat_apply(x, nbr, w))
+        exact, tier(W),
+        lambda: jax.lax.cond(exact2, tier(W2),
+                             lambda: _flat_apply(x, nbr, w)))
 
 
 def _apply(x, nbr, w, z_adjacent: bool = False):
