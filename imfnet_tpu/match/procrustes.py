@@ -134,8 +134,28 @@ def _dominant_quat_newton(K):
         take = jnp.abs(adj[i][i]) > jnp.abs(best_d)
         best_d = jnp.where(take, adj[i][i], best_d)
         q = [jnp.where(take, adj[i][j], q[j]) for j in range(4)]
+    # Degenerate-eigengap guard: adj(K - λmax I) = Π_{i>0}(λmax - λi)·qqᵀ,
+    # so a (near-)repeated dominant eigenvalue collapses the whole adjugate
+    # to ~0 and the selected row is noise (R≈I regardless of the data). A
+    # repeated λmax means the optimal rotation itself is non-unique — ANY
+    # unit vector in the dominant eigenspace is a valid optimum — so where
+    # the max adjugate diagonal is tiny relative to its natural s0³ scale
+    # we blend in a fixed seed and run shifted power steps (shift = s0
+    # ≥ λmax makes λmax + s0 the largest-magnitude eigenvalue): they
+    # converge INTO the dominant eigenspace instead of returning noise.
+    # Branch-free; for a simple eigenvalue q is already the eigenvector,
+    # the seed is not blended, and the power steps are exact no-ops.
+    degenerate = jnp.abs(best_d) < 1e-6 * (s0 * s0 * s0)
+    v0 = (0.7, 0.5, 0.4, 0.3)
+    q = [jnp.where(degenerate, x + v0[i], x) for i, x in enumerate(q)]
     qn = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in q), 1e-30))
-    return [x * qn for x in q]
+    q = [x * qn for x in q]
+    for _ in range(3):
+        q = [sum(K[i][j] * q[j] for j in range(4)) + s0 * q[i]
+             for i in range(4)]
+        qn = jax.lax.rsqrt(jnp.maximum(sum(x * x for x in q), 1e-30))
+        q = [x * qn for x in q]
+    return q
 
 
 def kabsch_umeyama_soa(

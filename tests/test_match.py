@@ -141,6 +141,34 @@ def test_kabsch_closed_form_matches_eigh(rng):
     assert np.mean(rc) <= np.mean(ro) * 1.02 + 1e-6
 
 
+def test_kabsch_closed_form_degenerate_eigengap(rng):
+    """Exactly collinear point sets make Horn's K have a REPEATED dominant
+    eigenvalue (rotation about the line axis is free), which collapses
+    adj(K - λI) to ~0 — the regime ADVICE r3 flagged: without a guard the
+    quaternion comes from a noise row and R≈I regardless of the data. The
+    guard must still return SOME optimal rotation: alignment residual on
+    the line must match the exact float64 SVD Kabsch."""
+    batch = 64
+    axis = rng.randn(batch, 3).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    ts = rng.randn(batch, 5).astype(np.float32)
+    src = ts[..., None] * axis[:, None, :]           # collinear points
+    Ts = np.stack([random_rigid(rng) for _ in range(batch)])
+    dst = (np.einsum("bij,bnj->bni", Ts[:, :3, :3], src)
+           + Ts[:, None, :3, 3]).astype(np.float32)
+
+    Tc = np.asarray(kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst),
+                                   power_iters=0))
+    R = Tc[:, :3, :3]
+    # valid rotations
+    np.testing.assert_allclose(
+        np.einsum("bij,bkj->bik", R, R), np.tile(np.eye(3), (batch, 1, 1)),
+        atol=1e-3)
+    mapped = np.einsum("bij,bnj->bni", R, src) + Tc[:, None, :3, 3]
+    resid = np.sqrt(((mapped - dst) ** 2).sum(-1)).max()
+    assert resid < 1e-2, float(resid)
+
+
 def test_ransac_recovers_pose_with_outliers(rng):
     T = random_rigid(rng)
     n = 500
