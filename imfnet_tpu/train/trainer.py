@@ -208,7 +208,9 @@ class Trainer:
     def _valid_epoch(self):
         config = self.config
         meters = {k: AverageMeter() for k in
-                  ("loss", "rre", "rte", "success", "hit_ratio", "feat_match_ratio")}
+                  ("loss", "rre", "rte", "success", "hit_ratio",
+                   "feat_match_ratio", "corr_inliers", "irls_resid_med",
+                   "irls_resid_inlier")}
         tot = len(self.val_data_loader)
         if config.val_max_iter > 0:
             tot = min(config.val_max_iter, tot)
@@ -220,8 +222,11 @@ class Trainer:
             out = {k: float(v) for k, v in out.items()}
             if not np.isnan(out["rre"]):
                 meters["rre"].update(out["rre"])
-            for k in ("loss", "rte", "success", "hit_ratio", "feat_match_ratio"):
-                meters[k].update(out[k])
+            for k in ("loss", "rte", "success", "hit_ratio",
+                      "feat_match_ratio", "corr_inliers", "irls_resid_med",
+                      "irls_resid_inlier"):
+                if k in out and not np.isnan(out[k]):
+                    meters[k].update(out[k])
         result = {k: m.avg for k, m in meters.items()}
         logging.info(
             "Validation: loss %.3f rte %.3f rre %.3f success %.3f "

@@ -57,6 +57,18 @@ def make_val_step(model, config: Config, subsample_size: int | None = None):
         d = jnp.sqrt(jnp.sum((moved - x1c) ** 2, -1) + 1e-6)
         w = ok0.astype(jnp.float32)
         hit = jnp.sum((d < config.hit_ratio_thresh) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        # Diagnostics for the pose path (VERDICT r3 weak item 4): how many
+        # GT-consistent correspondences enter IRLS, and how well the IRLS
+        # estimate fits them — separates "descriptors got worse" from "the
+        # pose solver failed on good matches".
+        inl = (d < config.hit_ratio_thresh) * w
+        r_est = jnp.sqrt(
+            jnp.sum((apply_transform(x0c, T_est) - x1c) ** 2, -1) + 1e-12)
+        rs = jnp.sort(jnp.where(ok0, r_est, jnp.inf))
+        n_ok = jnp.sum(ok0.astype(jnp.int32))
+        med = rs[jnp.clip(n_ok // 2, 0, rs.shape[0] - 1)]
+        med = jnp.where(n_ok > 0, med, 0.0)
         return {
             "loss": loss,
             "rre": rre,
@@ -64,6 +76,10 @@ def make_val_step(model, config: Config, subsample_size: int | None = None):
             "success": success.astype(jnp.float32),
             "hit_ratio": hit,
             "feat_match_ratio": (hit > 0.05).astype(jnp.float32),
+            "corr_inliers": jnp.sum(inl),
+            "irls_resid_med": med,
+            "irls_resid_inlier": (jnp.sum(r_est * inl)
+                                  / jnp.maximum(jnp.sum(inl), 1.0)),
         }
 
     return val_step
