@@ -97,9 +97,10 @@ def run(P: int):
             for p in range(P):
                 k0, k1, k2, key = jax.random.split(key, 4)
                 i0, ok0 = sample_keypoints_segment(
-                    k0, starts[2 * p], counts[2 * p], K)
+                    k0, starts[2 * p], counts[2 * p], K, xyz_down.shape[0])
                 i1, ok1 = sample_keypoints_segment(
-                    k1, starts[2 * p + 1], counts[2 * p + 1], K)
+                    k1, starts[2 * p + 1], counts[2 * p + 1], K,
+                    xyz_down.shape[0])
                 out = register_kp(
                     k2, jnp.take(xyz_down, i0, 0), jnp.take(feats, i0, 0),
                     ok0, jnp.take(xyz_down, i1, 0), jnp.take(feats, i1, 0),

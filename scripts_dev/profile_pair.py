@@ -103,8 +103,9 @@ def main():
         n_all = sv.num_valid
         key = jax.random.PRNGKey(0)
         k0, k1, k2 = jax.random.split(key, 3)
-        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K)
-        i1, ok1 = sample_keypoints_segment(k1, n0, n_all - n0, K)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K, xyz_down.shape[0])
+        i1, ok1 = sample_keypoints_segment(k1, n0, n_all - n0, K,
+                                           xyz_down.shape[0])
         kp0, kd0 = jnp.take(xyz_down, i0, 0), jnp.take(feats, i0, 0)
         kp1, kd1 = jnp.take(xyz_down, i1, 0), jnp.take(feats, i1, 0)
         return (kp0[0, 0] + kd0[0, 0].astype(jnp.float32)
@@ -118,8 +119,9 @@ def main():
         key = jax.random.fold_in(jax.random.PRNGKey(0),
                                  (c > 1e30).astype(jnp.int32))
         k0, k1, k2 = jax.random.split(key, 3)
-        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K)
-        i1, ok1 = sample_keypoints_segment(k1, n0, n_all - n0, K)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K, xyz_down.shape[0])
+        i1, ok1 = sample_keypoints_segment(k1, n0, n_all - n0, K,
+                                           xyz_down.shape[0])
         kp0, kd0 = jnp.take(xyz_down, i0, 0), jnp.take(feats, i0, 0)
         kp1, kd1 = jnp.take(xyz_down, i1, 0), jnp.take(feats, i1, 0)
         out = register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)

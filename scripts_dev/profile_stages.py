@@ -111,8 +111,10 @@ def main():
     def body_match(c):
         key = jax.random.PRNGKey(0)
         k0, k1, k2 = jax.random.split(key, 3)
-        i0, ok0 = sample_keypoints_segment(k0, 0, n0_c, K)
-        i1, ok1 = sample_keypoints_segment(k1, n0_c, sv_c.num_valid - n0_c, K)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0_c, K,
+                                           xyz_down_c.shape[0])
+        i1, ok1 = sample_keypoints_segment(k1, n0_c, sv_c.num_valid - n0_c, K,
+                                           xyz_down_c.shape[0])
         f = feats_c + c
         kp0, kd0 = jnp.take(xyz_down_c, i0, 0), jnp.take(f, i0, 0)
         kp1, kd1 = jnp.take(xyz_down_c, i1, 0), jnp.take(f, i1, 0)
@@ -126,8 +128,9 @@ def main():
                      * sv.mask().astype(jnp.int32))
         key = jax.random.PRNGKey(0)
         k0, k1, k2 = jax.random.split(key, 3)
-        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K)
-        i1, ok1 = sample_keypoints_segment(k1, n0, sv.num_valid - n0, K)
+        i0, ok0 = sample_keypoints_segment(k0, 0, n0, K, xyz_down.shape[0])
+        i1, ok1 = sample_keypoints_segment(k1, n0, sv.num_valid - n0, K,
+                                           xyz_down.shape[0])
         kp0, kd0 = jnp.take(xyz_down, i0, 0), jnp.take(f, i0, 0)
         kp1, kd1 = jnp.take(xyz_down, i1, 0), jnp.take(f, i1, 0)
         return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)["rte"]
