@@ -264,42 +264,47 @@ def _banded_apply(x, nbr, w, kz: int, block: int | None = None,
 # must either build a fresh jitted function per entry (what
 # sweep_packed_plan.py does) or call jax.clear_caches() after each
 # mutation, or its timings silently measure the stale plan.
-PLAN_OVERRIDES: dict[tuple[str, int], tuple[int, int, bool]] = {}
+PLAN_OVERRIDES: dict[tuple, tuple[int, int, bool]] = {}
 
 
-# Measured plan table for the Pallas banded conv: (mode, cin) →
+# Measured plan table for the Pallas banded conv: (mode, cin[, cout]) →
 # (block, packed_width, sel_t). Widths are in PACKED rows (P = 128/cin
-# rows per 128-lane table row when cin divides 128) and come from the
-# per-block spread statistics on the reference sample pair
-# (scripts_dev/profile_spreads.py, p100 over blocks × ~1.3 margin,
-# rounded to 16) — the previous one-size plans (512/1024/384 unpacked)
-# were 1.5-4× wider than any block needs, and selection cost is linear
-# in width (2·width·B·128 FLOPs per offset per block). A fragment denser
-# than the margin first retries at 2× width (tier-2 kernel), then falls
-# back to _flat_apply — speed penalties, never correctness ones.
-_BAND_PLANS: dict[tuple[str, int], tuple[int, int, bool]] = {
-    ("same", 32): (128, 96, True),
-    ("same", 64): (128, 176, True),
-    ("same", 128): (128, 288, True),
+# rows per 128-lane table row when cin divides 128). Entries are the
+# WINNERS of the on-TPU per-case sweep (scripts_dev/sweep_plan_r4.py) over
+# every conv shape the ResUNet hits on the reference sample pair — NOT the
+# narrowest exact width: the sweep showed the kernel is issue/overhead
+# bound, not selection-FLOP bound (cutting width 2-4× moves wall-clock
+# <10%), and LARGER blocks win for the big L0 convs because the inherent
+# per-column slab spread amortizes over more output rows. The 3-part key
+# disambiguates convs sharing (mode, cin) but different table sizes
+# (conv4_tr vs conv3_tr are both up-256). A fragment denser than the plan
+# first retries at 2× width in-graph (tier 2), then falls back to
+# _flat_apply — speed penalties, never correctness ones.
+_BAND_PLANS: dict[tuple, tuple[int, int, bool]] = {
+    ("same", 32): (512, 240, True),
+    ("same", 64): (256, 304, True),
+    ("same", 128): (256, 512, True),
     ("same", 256): (128, 224, True),
-    ("down", 32): (128, 240, True),
+    ("down", 32): (256, 384, True),
     ("down", 64): (128, 384, True),
     ("down", 128): (128, 720, True),
-    ("up", 64): (128, 80, True),
-    ("up", 128): (128, 112, True),
-    ("up", 256): (128, 112, True),
+    ("up", 128): (512, 384, True),
+    ("up", 256, 64): (512, 240, True),
+    ("up", 256, 128): (128, 96, True),
 }
 
 
-def _band_plan_packed(mode: str, cin: int, pack: int,
+def _band_plan_packed(mode: str, cin: int, cout: int, pack: int,
                       n_out: int, n_in: int, k: int):
     """(block, packed_width, sel_t) for a conv: the measured table when the
-    (mode, cin) shape is known, else the generic _band_plan rule converted
-    to packed rows. PLAN_OVERRIDES wins over both (sweep hook)."""
-    if (mode, cin) in PLAN_OVERRIDES:
-        return PLAN_OVERRIDES[(mode, cin)]
-    if (mode, cin) in _BAND_PLANS:
-        return _BAND_PLANS[(mode, cin)]
+    (mode, cin[, cout]) shape is known, else the generic _band_plan rule
+    converted to packed rows. PLAN_OVERRIDES wins over both (sweep hook)."""
+    for key in ((mode, cin, cout), (mode, cin)):
+        if key in PLAN_OVERRIDES:
+            return PLAN_OVERRIDES[key]
+    for key in ((mode, cin, cout), (mode, cin)):
+        if key in _BAND_PLANS:
+            return _BAND_PLANS[key]
     B, W = _band_plan(n_out, n_in, k)
     Wp = max(W // pack + 8, 32) if pack > 1 else W
     return B, Wp, True
@@ -328,7 +333,8 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     # the selection matmul and window DMA shrink P× (see _kernel_merged).
     pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
     mode = "same" if n_out == n_in else ("down" if n_out < n_in else "up")
-    B, W, sel_t = _band_plan_packed(mode, cin, pack, n_out, n_in, k)
+    B, W, sel_t = _band_plan_packed(mode, cin, w.shape[2], pack,
+                                    n_out, n_in, k)
     nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B, pack=pack)
     W2 = W * 2
     _, _, exact2 = plan_windows(nbr, kz, W2, n_in, block=B, pack=pack)

@@ -114,9 +114,14 @@ def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
     lanes), so the per-row lane-group mask is a pure VPU compare of a
     sublane iota against the [1, B] group row — no transpose, no mask
     matmul (the K=pack mask matmul wastes a full MXU pass per offset in
-    _kernel_merged; measured +70% on the L0 32ch conv). selbuf is
-    [k*cp, B]; the final weight GEMM contracts axis 0 of both operands,
-    same as the selection matmuls.
+    _kernel_merged; measured +70% on the L0 32ch conv).
+
+    GROUP-SUM COMPRESSION (round 4): after masking, each selected [cp, B]
+    tile has exactly one nonzero lane-group of ``cin`` sublanes per row, so
+    summing the P groups (P-1 static-slice VPU adds) compresses it to
+    [cin, B] losslessly. selbuf is [k*cin, B] — P× smaller — and the final
+    weight GEMM contracts k*cin instead of k*128: P× fewer weight FLOPs
+    and no pack-tiled weight matrix.
 
     A column-batched variant (one [width, kz*B] one-hot per column, kz×
     fewer MXU issues) was measured SLOWER (L0 32ch 2.18 → 2.49 ms, pack=1
@@ -154,7 +159,11 @@ def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
                 win[slot], oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
-            selbuf[j * cp:(j + 1) * cp, :] = (sel * m).astype(dt)
+            sm = sel * m
+            acc = sm[0:cin, :]
+            for p in range(1, pack):
+                acc = acc + sm[p * cin:(p + 1) * cin, :]
+            selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
     out_ref[:] = jax.lax.dot_general(                    # [B, cout]
         selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -305,17 +314,20 @@ def banded_conv_pallas_planned(
     nbr_block = (k, B)
     if merged:
         if pack > 1 and sel_t:
-            scratch.append(pltpu.VMEM((k * cp, B), x.dtype))
+            # group-sum compression: selbuf holds [k*cin, B] and the weight
+            # matrix needs no pack-tiling (see _kernel_merged_t)
+            scratch.append(pltpu.VMEM((k * cin, B), x.dtype))
             kern = functools.partial(_kernel_merged_t, ncol, kz, width,
                                      pack, cin)
+            w_in = w.reshape(k * cin, cout)
         else:
             scratch.append(pltpu.VMEM((B, k * cp), x.dtype))
             kern = functools.partial(_kernel_merged, ncol, kz, width,
                                      pack, cin)
-        # pack-tile the weights along cin so every lane group applies the
-        # same W (wrong groups are zero-masked in the kernel)
-        w_in = (jnp.tile(w, (1, pack, 1)) if pack > 1 else w).reshape(
-            k * cp, cout)
+            # pack-tile the weights along cin so every lane group applies
+            # the same W (wrong groups are zero-masked in the kernel)
+            w_in = (jnp.tile(w, (1, pack, 1)) if pack > 1 else w).reshape(
+                k * cp, cout)
     else:
         assert pack == 1
         kern = functools.partial(_kernel, ncol, kz, width)
@@ -334,7 +346,8 @@ def banded_conv_pallas_planned(
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    flops = 2 * nb * B * k * cp * (width + cout)
+    cw = cin if (pack > 1 and sel_t and merged) else cp
+    flops = 2 * nb * B * k * (cp * width + cw * cout)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nb * B, cout), jnp.float32),

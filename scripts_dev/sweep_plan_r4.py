@@ -68,29 +68,32 @@ def main():
 
     rng = np.random.RandomState(0)
     # (label, map, cin, cout, candidates [(B, Wp)], old plan (B, Wp))
+    # ROUND 2: round-1 winners re-timed under group-sum compression, plus
+    # larger blocks (round 1 showed the kernel is issue-bound — bigger B
+    # amortizes the inherent slab spread) and non-overflow up128 widths.
     cases = [
         ("same32 L0 (block1)", lv[0].k3_same, 32, 32,
-         [(128, 96), (256, 160), (512, 240)], (256, 136)),
+         [(512, 240), (768, 336), (1024, 448)], (256, 136)),
         ("same64 L0 (block2_tr)", lv[0].k3_same, 64, 64,
-         [(128, 176), (256, 304), (512, 480)], (256, 264)),
+         [(256, 304), (512, 464), (1024, 880)], (256, 264)),
         ("same64 L1 (block2)", lv[1].k3_same, 64, 64,
-         [(128, 176), (256, 304)], (256, 264)),
+         [(256, 304), (512, 464)], (256, 264)),
         ("same128 L2 (block3)", lv[2].k3_same, 128, 128,
-         [(128, 288), (256, 432)], (256, 512)),
+         [(256, 448), (512, 1008)], (256, 512)),
         ("same256 L3 (block4)", lv[3].k3_same, 256, 256,
-         [(128, 224), (256, 384)], (256, 512)),
+         [(128, 224), (256, 368)], (256, 512)),
         ("down32 (conv2)", lv[1].down, 32, 64,
-         [(128, 240), (256, 384)], (128, 264)),
+         [(256, 384), (512, 688)], (128, 264)),
         ("down64 (conv3)", lv[2].down, 64, 128,
-         [(128, 384), (256, 704)], (128, 520)),
+         [(128, 384), (256, 640)], (128, 520)),
         ("down128 (conv4)", lv[3].down, 128, 256,
-         [(128, 720), (256, 1264)], (128, 1024)),
+         [(128, 720)], (128, 1024)),
         ("up128 conv2_tr (lv0.up)", lv[0].up, 128, 64,
-         [(128, 80), (256, 112), (512, 144)], (512, 384)),
+         [(256, 176), (512, 224), (512, 256), (1024, 448)], (512, 384)),
         ("up256 conv3_tr (lv1.up)", lv[1].up, 256, 64,
-         [(128, 112), (256, 144), (512, 240)], (512, 384)),
+         [(512, 240), (1024, 416)], (512, 384)),
         ("up256 conv4_tr (lv2.up)", lv[2].up, 256, 128,
-         [(128, 96), (256, 128), (512, 208)], (512, 384)),
+         [(128, 96), (256, 128)], (512, 384)),
     ]
     results = {}
     for label, nbr, cin, cout, cands, old in cases:
