@@ -501,6 +501,12 @@ def main():
         "baseline_is_estimate": True,
         "stages": stages,
         "forward_gflops_xla": round(fwd_flops / 1e9, 1),
+        # XLA cost analysis sums BOTH branches of every conv's in-graph
+        # 2x-width retry lax.cond (sparse/ops.py tier-2), so gflops_xla /
+        # mfu_xla overstate the executed program since round 4; the
+        # executed tier-1 branch is what the wall clock measures, and
+        # *_model stays the honest reference-comparable accounting.
+        "xla_flops_include_untaken_retry_branches": True,
         "forward_gflops_model": round(model_flops / 1e9, 1),
         "forward_mfu_xla": round(ach / peak_tflops, 4),
         "forward_mfu_model": round(ach_model / peak_tflops, 4),

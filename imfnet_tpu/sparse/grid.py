@@ -308,6 +308,25 @@ def _window_rows(t4: jax.Array, zrel: jax.Array, zlo_w: jax.Array):
     return exists, row
 
 
+def _window_rows_vec(t4: jax.Array, zrels: jax.Array, zlo_w: jax.Array):
+    """_window_rows for ALL kz z-offsets of a column at once: ``zrels`` is
+    [N, kz] and the return is (exists bool[N,kz], row int32[N,kz]).
+
+    The per-offset scalar version left the map builders dispatch-bound: the
+    round-4 device trace attributed ~1.8 ms/pair to hundreds of tiny [N,1]
+    selects + T(1,128) layout copies from 27 per-offset `jnp.stack` columns
+    per map. One [N,kz] computation per (dx,dy) column collapses those into
+    a handful of medium fusions."""
+    sel = (zrels >> 5) - zlo_w[:, None]                  # [N,kz] 0 or 1
+    bits = jnp.where(sel == 0, t4[:, 0:1], t4[:, 1:2]).astype(jnp.uint32)
+    rank = jnp.where(sel == 0, t4[:, 2:3], t4[:, 3:4])
+    p = (zrels & 31).astype(jnp.uint32)
+    exists = ((bits >> p) & 1).astype(bool)
+    below = bits & ((jnp.uint32(1) << p) - 1)
+    row = rank + jax.lax.population_count(below).astype(jnp.int32)
+    return exists, row
+
+
 def _offset_columns(
     origins: jax.Array,
     coords: jax.Array,    # int32[N,4] query rows (at their own level's lattice)
@@ -320,10 +339,12 @@ def _offset_columns(
 ):
     """Per-(dx, dy)-column query descriptors shared by the packed-gather and
     banded-match map builders. Yields dicts with:
-      w0     int32[N]  anchor word index (garbage when not ok_xy)
-      zlo_w  int32[N]  anchor z-word
-      ok_xy  bool[N]   column structurally valid
-      dz     list over kernel z-offsets of (zrel int32[N], aligned bool[N])
+      w0      int32[N]     anchor word index (garbage when not ok_xy)
+      zlo_w   int32[N]     anchor z-word
+      ok_xy   bool[N]      column structurally valid
+      zrels   int32[N,kz]  z-cell of every kernel z-offset (vectorized —
+                           see _window_rows_vec)
+      aligned bool[N,kz] | None  parity alignment (mode='up' only)
     """
     x_d, y_d, _, zw_d = _packed_dims(spec, table_level)
     r = kernel_size // 2
@@ -369,17 +390,16 @@ def _offset_columns(
                 ok_xy = base_ok
             zlo_w = zlo >> 5
             w0 = ((b * x_d + cx) * y_d + cy) * zw_d + zlo_w
-            dzs = []
-            for dz in range(-r, r + 1):
-                if mode == "up":
-                    zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + oc_off
-                    aligned = ax & ay & (((m[:, 2] + dz) & 1) == 0)
-                else:
-                    zrel = base[:, 2] + dz
-                    aligned = jnp.ones_like(ok_xy)
-                dzs.append((zrel, aligned))
-            yield {"w0": w0, "zlo_w": zlo_w, "ok_xy": ok_xy, "dz": dzs,
-                   "dxdy": (dx, dy)}
+            dzv = jnp.arange(-r, r + 1, dtype=jnp.int32)[None, :]
+            if mode == "up":
+                zq = m[:, 2:3] + dzv
+                zrels = (zq >> 1) - o_cell[:, 2:3] + oc_off
+                aligned = (ax & ay)[:, None] & ((zq & 1) == 0)
+            else:
+                zrels = base[:, 2:3] + dzv
+                aligned = None
+            yield {"w0": w0, "zlo_w": zlo_w, "ok_xy": ok_xy, "zrels": zrels,
+                   "aligned": aligned, "dxdy": (dx, dy)}
 
 
 def packed_offset_map(
@@ -411,11 +431,12 @@ def packed_offset_map(
                                kernel_size=kernel_size, mode=mode):
         w0 = jnp.clip(jnp.where(col["ok_xy"], col["w0"], 0), 0, num_w - 1)
         t4 = jnp.take(pt.table, w0, axis=0)
-        for zrel, aligned in col["dz"]:
-            exists, row = _window_rows(t4, zrel, col["zlo_w"])
-            ok = col["ok_xy"] & exists & aligned
-            cols.append(jnp.where(ok, row, -1))
-    return jnp.stack(cols, axis=1)
+        exists, row = _window_rows_vec(t4, col["zrels"], col["zlo_w"])
+        ok = col["ok_xy"][:, None] & exists
+        if col["aligned"] is not None:
+            ok &= col["aligned"]
+        cols.append(jnp.where(ok, row, -1))
+    return jnp.concatenate(cols, axis=1)
 
 
 def widen_y(pt: PackedLevel, r: int) -> jax.Array:
@@ -481,6 +502,7 @@ def packed_offset_map_ywide(
     )
     num_w = wide.shape[0]
     zlo_w = (base[:, 2] - r) >> 5
+    zrels = base[:, 2:3] + jnp.arange(-r, r + 1, dtype=jnp.int32)[None, :]
     cols = []
     for dx in range(-r, r + 1):
         w0 = ((b * x_d + base[:, 0] + dx) * y_d + base[:, 1]) * zw_d + zlo_w
@@ -488,10 +510,9 @@ def packed_offset_map_ywide(
         g = jnp.take(wide, w0, axis=0)                   # [N, 4*(2rw+1)]
         for dy in range(-r, r + 1):
             t4 = g[:, 4 * (dy + rw): 4 * (dy + rw) + 4]
-            for dz in range(-r, r + 1):
-                exists, row = _window_rows(t4, base[:, 2] + dz, zlo_w)
-                cols.append(jnp.where(base_ok & exists, row, -1))
-    return jnp.stack(cols, axis=1)
+            exists, row = _window_rows_vec(t4, zrels, zlo_w)
+            cols.append(jnp.where(base_ok[:, None] & exists, row, -1))
+    return jnp.concatenate(cols, axis=1)
 
 
 def _ywide_up_map(
@@ -536,6 +557,9 @@ def _ywide_up_map(
         ok_g = ok_z & (cx >= 0) & (cx < x_d)
         w0 = jnp.clip(jnp.where(ok_g, w0, 0), 0, num_w - 1)
         rows2.append(jnp.take(wide, w0, axis=0))  # [N, 4*(2rw+1)]
+    zq = m[:, 2:3] + jnp.arange(-1, 2, dtype=jnp.int32)[None, :]
+    zrels = (zq >> 1) - o_cell[:, 2:3] + HALO
+    az = (zq & 1) == 0                                   # [N,3]
     cols = []
     for dx in (-1, 0, 1):
         cx_t = ((m[:, 0] + dx) >> 1) - o_cell[:, 0] + HALO
@@ -553,13 +577,11 @@ def _ywide_up_map(
                                    g[:, 4 * dd: 4 * dd + 4], t4)
             ok_y = (cy_t >= 0) & (cy_t < y_d)
             ay = ((m[:, 1] + dy) & 1) == 0
-            for dz in (-1, 0, 1):
-                zrel = ((m[:, 2] + dz) >> 1) - o_cell[:, 2] + HALO
-                az = ((m[:, 2] + dz) & 1) == 0
-                exists, row = _window_rows(t4, zrel, zlo_w)
-                ok = ok_z & ok_x & ok_y & ax & ay & az & exists
-                cols.append(jnp.where(ok, row, -1))
-    return jnp.stack(cols, axis=1)
+            ok_col = ok_z & ok_x & ok_y & ax & ay
+            exists, row = _window_rows_vec(t4, zrels, zlo_w)
+            ok = ok_col[:, None] & az & exists
+            cols.append(jnp.where(ok, row, -1))
+    return jnp.concatenate(cols, axis=1)
 
 
 def _scatter_inverse(src_cols: jax.Array, n_rows: int) -> jax.Array:
@@ -625,13 +647,15 @@ def packed_offset_map_sym(
         center_xy = (dx, dy) == (0, 0)
         w0 = jnp.clip(jnp.where(col["ok_xy"], col["w0"], 0), 0, num_w - 1)
         t4 = jnp.take(pt.table, w0, axis=0)
-        for dz_i, (zrel, aligned) in enumerate(col["dz"]):
-            if center_xy and dz_i - r >= 0:
-                break  # δ ≥lex 0: center + mirror half are derived below
-            exists, row = _window_rows(t4, zrel, col["zlo_w"])
-            ok = col["ok_xy"] & exists & aligned
-            cols.append(jnp.where(ok, row, -1))
-    half = jnp.stack(cols, axis=1)           # columns 0..K//2-1
+        exists, row = _window_rows_vec(t4, col["zrels"], col["zlo_w"])
+        ok = col["ok_xy"][:, None] & exists
+        if col["aligned"] is not None:
+            ok &= col["aligned"]
+        block = jnp.where(ok, row, -1)
+        if center_xy:
+            block = block[:, :r]  # δ ≥lex 0: center + mirror derived below
+        cols.append(block)
+    half = jnp.concatenate(cols, axis=1)     # columns 0..K//2-1
     n = coords.shape[0]
     center = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1)
     mirror = _scatter_inverse(half, n)       # columns K//2+1..K-1
@@ -901,11 +925,12 @@ def banded_offset_map(
     outs = []
     for ci, col in enumerate(cols):
         t4 = t4all[:, ci, :]
-        for zrel, aligned in col["dz"]:
-            exists, row = _window_rows(t4, zrel, col["zlo_w"])
-            ok = col["ok_xy"] & exists & aligned
-            outs.append(jnp.where(ok, row, -1))
-    return jnp.stack(outs, axis=1), exact
+        exists, row = _window_rows_vec(t4, col["zrels"], col["zlo_w"])
+        ok = col["ok_xy"][:, None] & exists
+        if col["aligned"] is not None:
+            ok &= col["aligned"]
+        outs.append(jnp.where(ok, row, -1))
+    return jnp.concatenate(outs, axis=1), exact
 
 
 def quantize_grid(

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from imfnet_tpu.sparse.pallas_conv import (banded_conv_pallas_planned,
-                                           plan_windows)
+                                           banded_conv_pallas_union,
+                                           plan_windows, plan_windows_union)
 
 
 def row_mask(n_padded: int, num_valid: jax.Array) -> jax.Array:
@@ -280,17 +281,17 @@ PLAN_OVERRIDES: dict[tuple, tuple[int, int, bool]] = {}
 # (conv4_tr vs conv3_tr are both up-256). A fragment denser than the plan
 # first retries at 2× width in-graph (tier 2), then falls back to
 # _flat_apply — speed penalties, never correctness ones.
-_BAND_PLANS: dict[tuple, tuple[int, int, bool]] = {
+_BAND_PLANS: dict[tuple, tuple] = {
     ("same", 32): (512, 240, True),
-    ("same", 64): (256, 304, True),
-    ("same", 128): (256, 512, True),
+    ("same", 64): (512, 464, True),
+    ("same", 128): (128, 304, True, "union"),
     ("same", 256): (128, 224, True),
-    ("down", 32): (256, 384, True),
+    ("down", 32): (128, 336, True, "union"),
     ("down", 64): (128, 384, True),
     ("down", 128): (128, 720, True),
-    ("up", 128): (512, 384, True),
-    ("up", 256, 64): (512, 240, True),
-    ("up", 256, 128): (128, 96, True),
+    ("up", 128): (512, 352, True, "union"),
+    ("up", 256, 64): (256, 192, True, "union"),
+    ("up", 256, 128): (128, 112, True, "union"),
 }
 
 
@@ -333,20 +334,34 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     # the selection matmul and window DMA shrink P× (see _kernel_merged).
     pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
     mode = "same" if n_out == n_in else ("down" if n_out < n_in else "up")
-    B, W, sel_t = _band_plan_packed(mode, cin, w.shape[2], pack,
-                                    n_out, n_in, k)
-    nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in, block=B, pack=pack)
-    W2 = W * 2
-    _, _, exact2 = plan_windows(nbr, kz, W2, n_in, block=B, pack=pack)
+    plan = _band_plan_packed(mode, cin, w.shape[2], pack, n_out, n_in, k)
+    B, W, sel_t = plan[:3]
+    # optional 4th element: "union" routes to the one-DMA-per-block kernel
+    # (W is then the UNION width over all kernel columns)
+    kind = plan[3] if len(plan) > 3 else "col"
 
-    def tier(width):
-        return lambda: banded_conv_pallas_planned(
-            x, nbr_p, starts, w, n_out, kz=kz, block=B, width=width,
-            pack=pack, sel_t=sel_t)
+    if kind == "union":
+        nbr_p, starts, exact = plan_windows_union(nbr, W, n_in,
+                                                  block=B, pack=pack)
+        _, _, exact2 = plan_windows_union(nbr, W * 2, n_in,
+                                          block=B, pack=pack)
+
+        def tier(width):
+            return lambda: banded_conv_pallas_union(
+                x, nbr_p, starts, w, n_out, block=B, width=width, pack=pack)
+    else:
+        nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in,
+                                            block=B, pack=pack)
+        _, _, exact2 = plan_windows(nbr, kz, W * 2, n_in, block=B, pack=pack)
+
+        def tier(width):
+            return lambda: banded_conv_pallas_planned(
+                x, nbr_p, starts, w, n_out, kz=kz, block=B, width=width,
+                pack=pack, sel_t=sel_t)
 
     return jax.lax.cond(
         exact, tier(W),
-        lambda: jax.lax.cond(exact2, tier(W2),
+        lambda: jax.lax.cond(exact2, tier(W * 2),
                              lambda: _flat_apply(x, nbr, w)))
 
 

@@ -169,6 +169,178 @@ def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
         preferred_element_type=jnp.float32)
 
 
+def _kernel_union(k: int, width: int, pack: int, cin: int,
+                  starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win, selbuf,
+                  sem):
+    """UNION-window variant: ONE DMA per output block covering the union of
+    all kernel columns' windows, double-buffered ACROSS grid steps (block
+    i's compute overlaps block i+1's window fetch). The per-column kernels
+    (_kernel_merged*) issue ncol=9 serialized window DMAs per block and the
+    round-4 sweep showed they are DMA/issue bound, not FLOP bound — the
+    union window trades a ~2× wider one-hot (idle MXU headroom) for 9×
+    fewer DMA issues and ~4× fewer window bytes.
+
+    Layouts: pack > 1 uses the transposed selection + group-sum compression
+    of _kernel_merged_t (selbuf [k*cin, B]); pack == 1 uses the
+    _kernel_merged layout (selbuf [B, k*cp]).
+    """
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    B = nbrt_ref.shape[1]
+    cp = win.shape[2]
+    dt = win.dtype
+    shift = pack.bit_length() - 1
+
+    def dma(slot, blk):
+        s = pl.multiple_of(starts_ref[blk], 8)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    slot = i % 2
+    dma(slot, i).wait()
+    start = starts_ref[i]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+    if pack > 1:
+        sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
+    for j in range(k):
+        t = nbrt_ref[j:j + 1, :]                         # [1,B]; -1 if none
+        if pack > 1:
+            tp = jax.lax.shift_right_arithmetic(t, shift)
+            loc = tp - start
+        else:
+            loc = t - start
+        oh = (iota == loc).astype(dt)                    # [width, B]
+        if pack > 1:
+            sel = jax.lax.dot_general(                   # [cp, B]
+                win[slot], oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
+            sm = sel * m
+            acc = sm[0:cin, :]
+            for p in range(1, pack):
+                acc = acc + sm[p * cin:(p + 1) * cin, :]
+            selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
+        else:
+            sel = jax.lax.dot_general(                   # [B, cp]
+                oh, win[slot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
+    if pack > 1:
+        out_ref[:] = jax.lax.dot_general(                # [B, cout]
+            selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        out_ref[:] = jax.lax.dot_general(                # [B, cout]
+            selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def plan_windows_union(nbr: jax.Array, width: int, n_in: int,
+                       block: int = 256, pack: int = 1):
+    """Per-block UNION window starts (over all k offsets) + in-graph
+    exactness check — the planning half of _kernel_union. Returns
+    (nbr_padded int32[nb*block, k], starts int32[nb], exact bool[])."""
+    n_out, k = nbr.shape
+    B = block
+    nb = -(-n_out // B)
+    if nb * B != n_out:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((nb * B - n_out, k), -1, jnp.int32)], 0)
+    t = nbr.reshape(nb, B * k)
+    valid = t >= 0
+    if pack > 1:
+        t = jnp.where(valid, t // pack, t)
+        n_hi = -(-n_in // pack)
+    else:
+        n_hi = n_in
+    big = jnp.int32(1 << 30)
+    tmin = jnp.min(jnp.where(valid, t, big), axis=1)             # [nb]
+    tmax = jnp.max(jnp.where(valid, t, -1), axis=1)
+    has = tmin != big
+    starts = jnp.where(has, jnp.clip(tmin & ~7, 0, n_hi), 0)
+    exact = jnp.all(jnp.where(has, tmax - starts < width, True))
+    return nbr, starts, exact
+
+
+def banded_conv_pallas_union(
+    x: jax.Array,           # [n_in, cin] compute dtype
+    nbr: jax.Array,         # int32[nb*block, k] (from plan_windows_union)
+    starts: jax.Array,      # int32[nb]          (from plan_windows_union)
+    w: jax.Array,           # [k, cin, cout] compute dtype
+    n_out: int,
+    *,
+    block: int = 256,
+    width: int = 512,
+    pack: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Union-window kernel invocation (assumes plan_windows_union said
+    exact=True; callers guard with lax.cond). ``width`` is in packed rows
+    when pack > 1."""
+    n_in, cin = x.shape
+    k = nbr.shape[1]
+    cout = w.shape[2]
+    B = block
+    nb = nbr.shape[0] // B
+
+    if pack > 1:
+        assert pack & (pack - 1) == 0 and pack * cin == 128, (pack, cin)
+        n_p = -(-n_in // pack) * pack
+        if n_p != n_in:
+            x = jnp.pad(x, ((0, n_p - n_in), (0, 0)))
+        x = x.reshape(n_p // pack, 128)
+        cp = 128
+        w_in = w.reshape(k * cin, cout)
+        selbuf = pltpu.VMEM((k * cin, B), x.dtype)
+    else:
+        cp = -(-cin // 128) * 128
+        if cp != cin:
+            x = jnp.pad(x, ((0, 0), (0, cp - cin)))
+            w = jnp.pad(w, ((0, 0), (0, cp - cin), (0, 0)))
+        w_in = w.reshape(k * cp, cout)
+        selbuf = pltpu.VMEM((B, k * cp), x.dtype)
+    x_pad = jnp.concatenate([x, jnp.zeros((width, cp), x.dtype)], 0)
+
+    kern = functools.partial(_kernel_union, k, width, pack, cin)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k, B), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, width, cp), x.dtype),
+            selbuf,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    cw = cin if pack > 1 else cp
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nb * B, cout), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * B * k * (cp * width + cw * cout),
+            bytes_accessed=nb * width * cp * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(starts, nbr.T, x_pad, w_in)
+    return out[:n_out]
+
+
 def _kernel(ncol: int, kz: int, width: int,
             starts_ref, nbrt_ref, x_any, w_ref, out_ref, win, sem):
     """One grid step = one block of B output rows, all k = ncol*kz offsets.

@@ -144,3 +144,41 @@ def test_pallas_conv_all_missing_rows():
                                     interpret=True)
     assert bool(exact)
     assert float(jnp.max(jnp.abs(out[10]))) == 0.0
+
+
+@pytest.mark.parametrize("shape", [
+    (700, 700, 32, 48, 27, 3, 4),     # pack=4 (group-sum compression path)
+    (700, 700, 64, 32, 27, 3, 2),     # pack=2
+    (900, 300, 128, 64, 27, 3, 1),    # pack=1, down-like
+    (300, 900, 48, 64, 27, 3, 1),     # pack=1 with lane padding (48 -> 128)
+])
+def test_pallas_conv_union_matches_oracle(shape):
+    """Union-window kernel (one DMA per block, double-buffered across grid
+    steps) vs the gather-GEMM oracle, both pack layouts."""
+    from imfnet_tpu.sparse.pallas_conv import (banded_conv_pallas_union,
+                                               plan_windows_union)
+
+    n_in, n_out, cin, cout, k, kz, pack = shape
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(k, cin, cout) * 0.05).astype(np.float32))
+    nbr = _banded_map(rng, n_in, n_out, k, kz)
+    width = 2048 // max(pack, 1)
+    nbr_p, starts, exact = plan_windows_union(nbr, width, n_in,
+                                              block=128, pack=pack)
+    assert bool(exact)
+    out = banded_conv_pallas_union(x, nbr_p, starts, w, n_out, block=128,
+                                   width=width, pack=pack, interpret=True)
+    ref = _oracle(x, nbr, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_plan_windows_union_overflow():
+    """A union width smaller than the true spread must report exact=False."""
+    from imfnet_tpu.sparse.pallas_conv import plan_windows_union
+
+    rng = np.random.RandomState(2)
+    nbr = _banded_map(rng, 900, 300, 27, 3)
+    _, _, exact = plan_windows_union(nbr, 16, 900, block=128)
+    assert not bool(exact)
