@@ -398,3 +398,34 @@ def test_transpose_backward_matches_autodiff(rng):
                                    rtol=1e-3, atol=1e-4, err_msg=name)
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                    rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_band_plan_packed_key_resolution():
+    """Plan-table lookup precedence: PLAN_OVERRIDES beats _BAND_PLANS, the
+    3-part (mode, cin, cout) key beats (mode, cin), and unknown shapes fall
+    back to the generic _band_plan rule converted to packed rows. The
+    optional 4th 'union' element must pass through untouched."""
+    from imfnet_tpu.sparse import ops
+
+    # 3-part key wins over 2-part for the colliding up-256 convs
+    assert ops._band_plan_packed("up", 256, 64, 1, 13653, 5120, 27) == \
+        ops._BAND_PLANS[("up", 256, 64)]
+    assert ops._band_plan_packed("up", 256, 128, 1, 5120, 2048, 27) == \
+        ops._BAND_PLANS[("up", 256, 128)]
+    # 2-part key serves any cout not specifically planned
+    assert ops._band_plan_packed("same", 64, 999, 2, 1000, 1000, 27) == \
+        ops._BAND_PLANS[("same", 64)]
+    # union kind passes through
+    plan = ops._band_plan_packed("same", 128, 128, 1, 5120, 5120, 27)
+    assert len(plan) == 4 and plan[3] == "union"
+    # overrides win over the table
+    ops.PLAN_OVERRIDES[("same", 64)] = (128, 99, True)
+    try:
+        assert ops._band_plan_packed("same", 64, 64, 2, 1000, 1000, 27) == \
+            (128, 99, True)
+    finally:
+        del ops.PLAN_OVERRIDES[("same", 64)]
+    # unknown shape: generic rule, packed conversion
+    B, W = ops._band_plan(1000, 1000, 27)
+    assert ops._band_plan_packed("same", 16, 16, 8, 1000, 1000, 27) == \
+        (B, max(W // 8 + 8, 32), True)
