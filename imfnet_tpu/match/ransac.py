@@ -50,7 +50,8 @@ def _compact_valid(valid: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 @partial(
     jax.jit,
-    static_argnames=("ransac_n", "num_hypotheses", "hypo_block", "refine"),
+    static_argnames=("ransac_n", "num_hypotheses", "hypo_block", "refine",
+                     "edge_length_ratio", "fit_power_iters"),
 )
 def ransac_registration(
     key: jax.Array,

@@ -145,17 +145,20 @@ def main():
             table.append(row)
             print(json.dumps(row), flush=True)
 
+    platform = jax.devices()[0].platform
     with open(args.out, "w") as f:
         json.dump({
             "criteria": [args.hypotheses, 1000],
             "corres": args.corres, "threshold": thr,
+            "platform": platform,
             "timing_note": (
                 "ours_host_ms_per_trial includes host dispatch + transfers "
                 "(compile excluded by a per-shape warmup); ours_device_ms is "
                 "the same program chained in one on-device fori_loop (the "
-                "bench methodology) — comparable to the bench match stage. "
-                "oracle_ms_per_trial is numpy host time for the sequential "
-                "o3d-semantics oracle."),
+                "bench methodology) on the 'platform' backend — the POWER "
+                "columns are platform-independent; for TPU wall-clock see "
+                "the bench match stage. oracle_ms_per_trial is numpy host "
+                "time for the sequential o3d-semantics oracle."),
             "table": table}, f, indent=2)
     print(f"written to {args.out}")
 
