@@ -388,6 +388,21 @@ def main():
     _ = float(ir_last)  # drains the whole chain
     dt = time.perf_counter() - t0
 
+    # Provisional headline, printed BEFORE the stage/MFU/train attribution:
+    # the axon remote compiler is slow and variable, and the attribution
+    # below compiles several more large programs — if a driver timeout kills
+    # the process there, this line still records the measured throughput.
+    # The complete JSON line (same metric, full detail) prints last and
+    # supersedes it.
+    print(json.dumps({
+        "metric": "fragment-pairs/sec (desc+match)",
+        "value": round(iters / dt, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(iters / dt, 2),
+        "baseline_is_estimate": True,
+        "partial": True,
+    }), flush=True)
+
     # ---- per-stage attribution + MFU (same chained-loop discipline) ----
     def timeloop(body):
         @jax.jit
