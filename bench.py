@@ -15,12 +15,37 @@ roughly 0.35 s/fragment descriptor extraction (generate_desc.py "AVG" on a
 2080Ti-class GPU) plus ~0.3 s CPU RANSAC per pair → ~1.0 pair/s estimated.
 vs_baseline uses that 1.0 pair/s estimate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints PROGRESSIVELY COMPLETE JSON lines with the same "metric" key — the
+headline first (so a driver timeout can never erase the measured
+throughput), then stages, MFU/roofline, and the train step as each section
+finishes. Consumers must take the LAST line (or filter "partial": false —
+only the final line has it). Each section is guarded by a wall-clock budget
+(BENCH_BUDGET_S, default 480 s): if the remote compiler eats the budget,
+remaining sections are skipped and reported in "skipped_sections" instead of
+the whole artifact dying rc=124 (the BENCH_r04 failure mode). Per-section
+compile seconds are recorded in "compile_s" so a cold cache is diagnosable.
 """
 import json
 import os
 import sys
 import time
+
+_T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _elapsed():
+    return time.perf_counter() - _T_START
+
+
+def _budget_left(section: str, need_s: float = 60.0) -> bool:
+    """True if `section` may start: at least ``need_s`` of budget remain."""
+    left = BUDGET_S - _elapsed()
+    if left < need_s:
+        print(f"# budget guard: skipping {section} "
+              f"({left:.0f}s left < {need_s:.0f}s needed)", file=sys.stderr)
+        return False
+    return True
 
 # persistent compile cache: the axon remote compiler is slow and variable;
 # repeated bench runs must not re-pay multi-minute compiles.
@@ -32,6 +57,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# the axon sitecustomize imports jax at interpreter startup, BEFORE this
+# script's env vars exist — so the env-var route silently never enabled the
+# cache (this is why BENCH_r04 re-paid full compiles and timed out, rc=124).
+# Setting the config directly works regardless of import order.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REF_FILES = "/root/reference/files"
 
@@ -360,8 +394,10 @@ def main():
         return register_kp(k2, kp0, kd0, ok0, kp1, kd1, ok1, T_gt, cov)
 
     # warmup / compile; force a real host read
+    t_c = time.perf_counter()
     out = one_pair(jax.random.PRNGKey(0), jnp.float32(0.0))
     _ = float(out["ir"])
+    compile_s = {"one_pair": round(time.perf_counter() - t_c, 1)}
 
     # Steady-state throughput: iterations chained INSIDE one jitted fori_loop
     # through a real data dependency (eps links each pair to the previous
@@ -382,36 +418,54 @@ def main():
 
         return jax.lax.fori_loop(0, iters, step, (jnp.float32(0.0), jnp.float32(0.0)))
 
+    t_c = time.perf_counter()
     _ = jax.block_until_ready(run_chain(jax.random.PRNGKey(0)))  # compile
+    compile_s["run_chain"] = round(time.perf_counter() - t_c, 1)
     t0 = time.perf_counter()
     _, ir_last = run_chain(jax.random.PRNGKey(1))
     _ = float(ir_last)  # drains the whole chain
     dt = time.perf_counter() - t0
 
-    # Provisional headline, printed BEFORE the stage/MFU/train attribution:
-    # the axon remote compiler is slow and variable, and the attribution
-    # below compiles several more large programs — if a driver timeout kills
-    # the process there, this line still records the measured throughput.
-    # The complete JSON line (same metric, full detail) prints last and
-    # supersedes it.
-    print(json.dumps({
+    pairs_per_sec = iters / dt
+    baseline_pairs_per_sec = 1.0  # estimated reference throughput (see header)
+    record = {
         "metric": "fragment-pairs/sec (desc+match)",
-        "value": round(iters / dt, 3),
+        "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(iters / dt, 2),
+        # the denominator is the 1.0 pair/s ESTIMATE from the header — the
+        # reference publishes no throughput number
+        "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 2),
         "baseline_is_estimate": True,
         "partial": True,
-    }), flush=True)
+    }
+    skipped = []
+
+    def emit(final=False):
+        # Progressively complete JSON lines, same metric key; consumers take
+        # the LAST line (only the final one has "partial": false). A driver
+        # timeout mid-attribution therefore loses only the unfinished
+        # sections, never the headline (BENCH_r04 was rc=124 with only the
+        # provisional line — this incremental emission is the fix).
+        record["partial"] = not final
+        record["compile_s"] = compile_s
+        if skipped:
+            record["skipped_sections"] = list(skipped)
+        record["elapsed_s"] = round(_elapsed(), 1)
+        print(json.dumps(record), flush=True)
+
+    emit()
 
     # ---- per-stage attribution + MFU (same chained-loop discipline) ----
-    def timeloop(body):
+    def timeloop(body, name):
         @jax.jit
         def run():
             return jax.lax.fori_loop(
                 0, iters, lambda i, c: body(c) * jnp.float32(1e-20),
                 jnp.float32(0.0))
 
+        t_c = time.perf_counter()
         _ = float(run())
+        compile_s[name] = round(time.perf_counter() - t_c, 1)
         t = time.perf_counter()
         _ = float(run())
         return (time.perf_counter() - t) / iters * 1e3
@@ -423,11 +477,13 @@ def main():
             batch_index=jnp.asarray(bidx))
         return sv, xyz_down
 
+    t_c = time.perf_counter()
     sv_c, xyz_down_c = jax.jit(quant_only)(xyz_cat)
     pyr_c = jax.jit(lambda c, n: pyramid_fn(c, n))(sv_c.coords, sv_c.num_valid)
     fwd_jit = jax.jit(lambda sv, pyr: model.apply(variables, sv, pyr, images,
                                                   train=False))
     feats_c = fwd_jit(sv_c, pyr_c)
+    compile_s["stage_prep"] = round(time.perf_counter() - t_c, 1)
     n0_c = jnp.sum((sv_c.coords[:, 0] == 0).astype(jnp.int32)
                    * sv_c.mask().astype(jnp.int32))
 
@@ -470,67 +526,92 @@ def main():
             sv_c.num_valid - (c > jnp.float32(1e30)).astype(jnp.int32))
         return _consume_pyr(pyr)
 
-    stages = {
-        "quantize_ms": timeloop(_quant_body),
-        "pyramid_ms": timeloop(_pyr_body),
-        "forward_ms": timeloop(lambda c: jnp.sum(model.apply(
+    stage_bodies = {
+        "quantize_ms": _quant_body,
+        "pyramid_ms": _pyr_body,
+        "forward_ms": lambda c: jnp.sum(model.apply(
             variables, sv_c._replace(feats=sv_c.feats + c), pyr_c, images,
-            train=False)).astype(jnp.float32)),
-        "match_ms": timeloop(_match_body),
+            train=False)).astype(jnp.float32),
+        "match_ms": _match_body,
     }
+    stages = {}
+    for name, body in stage_bodies.items():
+        if not _budget_left(f"stage:{name}", 45.0):
+            skipped.append(f"stage:{name}")
+            continue
+        stages[name] = round(timeloop(body, name), 2)
+        record["stages"] = stages
+        emit()
 
     # ---- two MFU figures for the model forward ----
     # (a) XLA-cost MFU: flops from XLA's cost model of the compiled program.
     #     A *utilization* number — it counts the one-hot selection matmuls
     #     the banded conv strategy introduces, so it can rise by making the
     #     kernel LESS efficient.
-    try:
-        fwd_flops = float(fwd_jit.lower(sv_c, pyr_c).compile()
-                          .cost_analysis()["flops"])
-    except Exception:
-        fwd_flops = float("nan")
-    # (b) model-FLOPs MFU: algorithmic work only — 2·nnz·Cin·Cout per sparse
-    #     conv counted from actual kernel-map occupancy, plus the dense image
-    #     trunk + attention fusion (XLA-counted; those are plain matmuls with
-    #     no selection overhead). This is the reference-comparable number: it
-    #     cannot improve by adding selection work.
-    model_flops = model_forward_flops(model, variables, pyr_c, images)
-    peak_tflops = 197.0  # TPU v5e bf16 peak
-    ach = fwd_flops / (stages["forward_ms"] * 1e-3) / 1e12
-    ach_model = model_flops / (stages["forward_ms"] * 1e-3) / 1e12
-    stages = {k: round(v, 2) for k, v in stages.items()}
+    if "forward_ms" in stages and _budget_left("mfu", 30.0):
+        try:
+            fwd_flops = float(fwd_jit.lower(sv_c, pyr_c).compile()
+                              .cost_analysis()["flops"])
+        except Exception:
+            fwd_flops = float("nan")
+        # (b) model-FLOPs MFU: algorithmic work only — 2·nnz·Cin·Cout per
+        #     sparse conv counted from actual kernel-map occupancy, plus the
+        #     dense image trunk + attention fusion (XLA-counted; those are
+        #     plain matmuls with no selection overhead). This is the
+        #     reference-comparable number: it cannot improve by adding
+        #     selection work.
+        model_flops = model_forward_flops(model, variables, pyr_c, images)
+        peak_tflops = 197.0  # TPU v5e bf16 peak
+        ach = fwd_flops / (stages["forward_ms"] * 1e-3) / 1e12
+        ach_model = model_flops / (stages["forward_ms"] * 1e-3) / 1e12
+        record.update({
+            "forward_gflops_xla": round(fwd_flops / 1e9, 1),
+            # XLA cost analysis sums BOTH branches of every conv's in-graph
+            # 2x-width retry lax.cond (sparse/ops.py tier-2), so gflops_xla /
+            # mfu_xla overstate the executed program since round 4; the
+            # executed tier-1 branch is what the wall clock measures, and
+            # *_model stays the honest reference-comparable accounting.
+            "xla_flops_include_untaken_retry_branches": True,
+            "forward_gflops_model": round(model_flops / 1e9, 1),
+            "forward_mfu_xla": round(ach / peak_tflops, 4),
+            "forward_mfu_model": round(ach_model / peak_tflops, 4),
+            "forward_tflops_per_s_xla": round(ach, 2),
+            "forward_tflops_per_s_model": round(ach_model, 2),
+        })
+        # ---- forward roofline: bytes the conv stack must move through HBM
+        # (VERDICT r4 item 3 — quantify the "DMA-bound" claim) ----
+        try:
+            from imfnet_tpu.sparse.roofline import forward_hbm_bytes
+
+            hbm_bytes = forward_hbm_bytes(model, pyr_c)
+            peak_gbps = 819.0  # TPU v5e HBM bandwidth (16 GB @ 819 GB/s)
+            gbps = hbm_bytes / (stages["forward_ms"] * 1e-3) / 1e9
+            record.update({
+                "forward_hbm_gbytes": round(hbm_bytes / 1e9, 3),
+                "forward_hbm_gbps": round(gbps, 1),
+                "forward_hbm_bw_util": round(gbps / peak_gbps, 3),
+            })
+        except Exception as e:  # pragma: no cover
+            print(f"# roofline unavailable: {e}", file=sys.stderr)
+        emit()
+    elif "forward_ms" not in stages:
+        skipped.append("mfu")
 
     # ---- training-step timing + MFU (VERDICT r3 weak item 6: the training
     # path gets the same honest FLOP accounting as the eval forward) ----
-    train_ms, train_mfu_model, train_gflops_model = bench_train_step()
-
-    pairs_per_sec = iters / dt
-    baseline_pairs_per_sec = 1.0  # estimated reference throughput (see header)
-    print(json.dumps({
-        "metric": "fragment-pairs/sec (desc+match)",
-        "value": round(pairs_per_sec, 3),
-        "unit": "pairs/s",
-        # the denominator is the 1.0 pair/s ESTIMATE from the header — the
-        # reference publishes no throughput number
-        "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 2),
-        "baseline_is_estimate": True,
-        "stages": stages,
-        "forward_gflops_xla": round(fwd_flops / 1e9, 1),
-        # XLA cost analysis sums BOTH branches of every conv's in-graph
-        # 2x-width retry lax.cond (sparse/ops.py tier-2), so gflops_xla /
-        # mfu_xla overstate the executed program since round 4; the
-        # executed tier-1 branch is what the wall clock measures, and
-        # *_model stays the honest reference-comparable accounting.
-        "xla_flops_include_untaken_retry_branches": True,
-        "forward_gflops_model": round(model_flops / 1e9, 1),
-        "forward_mfu_xla": round(ach / peak_tflops, 4),
-        "forward_mfu_model": round(ach_model / peak_tflops, 4),
-        "forward_tflops_per_s_xla": round(ach, 2),
-        "forward_tflops_per_s_model": round(ach_model, 2),
-        "train_step_ms": round(train_ms, 2),
-        "train_gflops_model": round(train_gflops_model, 1),
-        "train_mfu_model": round(train_mfu_model, 4),
-    }))
+    if _budget_left("train", 120.0):
+        t_c = time.perf_counter()
+        train_ms, train_mfu_model, train_gflops_model = bench_train_step()
+        compile_s["train"] = round(time.perf_counter() - t_c
+                                   - 2 * train_ms * 5e-3, 1)
+        record.update({
+            "train_step_ms": round(train_ms, 2),
+            "train_gflops_model": round(train_gflops_model, 1),
+            "train_mfu_model": round(train_mfu_model, 4),
+        })
+    else:
+        skipped.append("train")
+    emit(final=True)
 
 
 if __name__ == "__main__":

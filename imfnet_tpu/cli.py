@@ -30,10 +30,13 @@ def _base_config(args):
     over = {}
     if args.dataset == "synthetic":
         over["dataset"] = "SyntheticPairDataset"
+    if getattr(args, "num_devices", None) is not None:
+        over["data_parallel"] = args.num_devices
     for k in ("threed_match_dir", "overlap_path", "kitti_root", "out_dir",
               "max_epoch", "batch_size", "lr", "voxel_size", "trainer",
               "max_points", "seed", "resume",
-              "model", "model_n_out", "conv1_kernel_size"):
+              "model", "model_n_out", "conv1_kernel_size",
+              "synthetic_length", "synthetic_n_points"):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
@@ -89,6 +92,11 @@ def cmd_train(args):
     train_loader = make_data_loader(config, "train", config.batch_size)
     val_loader = make_data_loader(config, "val", config.val_batch_size)
     trainer = Trainer(config, train_loader, val_loader)
+    logging.info(
+        "training on %d device(s) across %d process(es)%s",
+        trainer.n_devices, __import__("jax").process_count(),
+        " — data-parallel mesh over the pair axis"
+        if trainer.n_devices > 1 else "")
     first = next(iter(train_loader))
     trainer.init_state(first)
     trainer.train()
@@ -99,7 +107,8 @@ def cmd_generate_desc(args):
 
     model, variables, config = _load_model_and_vars(args.checkpoint)
     stats = generate_descriptors(
-        model, variables, config, args.pcloud_root, args.out_root)
+        model, variables, config, args.pcloud_root, args.out_root,
+        num_devices=args.num_devices)
     print(json.dumps(stats))
 
 
@@ -128,7 +137,8 @@ def cmd_eval_kitti(args):
     if args.kitti_root:
         config = config.replace(kitti_root=args.kitti_root)
     loader = make_data_loader(config, "test", 1, shuffle=False)
-    result = evaluate_kitti(model, variables, config, loader)
+    result = evaluate_kitti(model, variables, config, loader,
+                            num_devices=args.num_devices)
     print(json.dumps(result))
 
 
@@ -341,9 +351,16 @@ def main(argv=None):
                       ("--resume-dir", str),
                       # net group flags (`config_3dmatch.py:60-76`)
                       ("--model", str), ("--model-n-out", int),
-                      ("--conv1-kernel-size", int)]:
+                      ("--conv1-kernel-size", int),
+                      ("--synthetic-length", int),
+                      ("--synthetic-n-points", int)]:
         pt.add_argument(flag, type=typ, default=None,
                         dest=flag[2:].replace("-", "_"))
+    pt.add_argument("--num-devices", type=int, default=None,
+                    dest="num_devices",
+                    help="data-parallel mesh size over the pair axis: "
+                         "0 = auto (all devices), 1 = single device, "
+                         "N = exactly N (default: auto)")
     # multi-host (DCN): one process per host, rendezvous at the coordinator
     pt.add_argument("--num-processes", type=int, default=None)
     pt.add_argument("--process-id", type=int, default=None)
@@ -364,6 +381,9 @@ def main(argv=None):
     pg.add_argument("--checkpoint", required=True)
     pg.add_argument("--pcloud-root", required=True)
     pg.add_argument("--out-root", required=True)
+    pg.add_argument("--num-devices", type=int, default=1,
+                    help="fragments extracted concurrently over a device "
+                         "mesh (0 = all devices)")
     pg.set_defaults(fn=cmd_generate_desc)
 
     pe = sub.add_parser("eval-3dmatch")
@@ -390,6 +410,9 @@ def main(argv=None):
     pk = sub.add_parser("eval-kitti")
     pk.add_argument("--checkpoint", required=True)
     pk.add_argument("--kitti-root", default=None)
+    pk.add_argument("--num-devices", type=int, default=1,
+                    help="pairs registered concurrently over a device mesh "
+                         "(0 = all devices)")
     pk.set_defaults(fn=cmd_eval_kitti)
 
     pc = sub.add_parser("compare")

@@ -118,7 +118,18 @@ class Config:
     level_capacity_divisors: Tuple[int, int, int, int] = (1, 2, 4, 8)
     compute_dtype: str = "bfloat16"   # conv/attention compute dtype (f32 accum)
     param_dtype: str = "float32"
-    data_parallel: int = 1            # device-mesh size over the pair axis
+    # Device-mesh size over the pair axis (data parallelism — new capability
+    # vs the single-GPU reference, SURVEY.md §2.3). 0 = auto: use every
+    # addressable device, clamped so at least one optimizer step per epoch
+    # remains. 1 = single device. >1 = exactly that many devices (error if
+    # unavailable). The Trainer consumes `data_parallel` loader batches per
+    # optimizer step and pmean's grads/BN stats over the mesh
+    # (parallel/dp.py); `cli train --num-devices` sets this.
+    data_parallel: int = 0
+    # SyntheticPairDataset size knobs (smoke training / CI; not in the
+    # reference): pairs per epoch and raw points per fragment
+    synthetic_length: int = 64
+    synthetic_n_points: int = 4000
     seed: int = 0
     out_dir: str = "outputs"
     save_freq_epoch: int = 1

@@ -392,17 +392,28 @@ class SyntheticPairDataset(PairDataset):
     """Self-contained synthetic dataset (no files needed) — used for smoke
     training, benchmarks, and CI. Not in the reference."""
 
-    def __init__(self, phase, config, length=64, n_points=4000, **kw):
+    def __init__(self, phase, config, length=None, n_points=None, **kw):
         super().__init__(phase, config, **kw)
-        self.files = list(range(length))
-        self.n_points = n_points
+        self.files = list(range(
+            length if length is not None
+            else getattr(config, "synthetic_length", 64)))
+        self.n_points = (n_points if n_points is not None
+                         else getattr(config, "synthetic_n_points", 4000))
 
     def __getitem__(self, idx) -> VoxelizedPair:
         from imfnet_tpu.data.synthetic import synthetic_pair
 
-        rng = np.random.RandomState(idx if self.phase != "train" else None)
+        # per-index deterministic in EVERY phase: sample i is the same no
+        # matter which process/loader-shard draws it or in what order —
+        # required for multi-host DP feeding to equal a single-process run
+        # (train uses a seed-mixed stream so train/val/test differ)
+        if self.phase == "train":
+            seed = (1_000_003 + idx * 7919 + self.config.seed) % (1 << 31)
+        else:
+            seed = idx
+        rng = np.random.RandomState(seed)
         return synthetic_pair(
-            rng if self.phase != "train" else self.randg,
+            rng,
             n_points=self.n_points,
             voxel_size=self.voxel_size,
             image_hw=(self.config.image_H, self.config.image_W),
@@ -420,7 +431,7 @@ class PairLoader:
 
     def __init__(self, dataset, batch_size: int, n_pad: int, shuffle=True,
                  seed=0, prefetch: int = 2, drop_last=True,
-                 grid_extent=None):
+                 grid_extent=None, shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_pad = n_pad
@@ -429,14 +440,34 @@ class PairLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.grid_extent = grid_extent  # loud guard, see collate_pairs
+        # multi-host data parallelism: shard=(rank, world, group) keeps only
+        # batch b when (b // group) % world == rank — contiguous groups of
+        # ``group`` batches (= local devices per process) rotate over
+        # processes, so the union over processes at each global step equals
+        # the single-process epoch (the DP Trainer consumes ``group``
+        # batches per optimizer step). Identical epoch seed on every process
+        # keeps the permutations aligned.
+        self.shard = shard
         # samples dropped by ValueError (e.g. KITTI <1000-GT-match rejection,
         # `lib/data_loaders.py:588`); reset each __iter__, consumed by
         # eval.kitti the way `scripts/evaluation_kitti.py:66-70` counts skips
         self.skip_count = 0
 
-    def __len__(self):
+    def _total_batches(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _keep_batch(self, b: int) -> bool:
+        if self.shard is None:
+            return True
+        rank, world, group = self.shard
+        return (b // group) % world == rank
+
+    def __len__(self):
+        t = self._total_batches()
+        if self.shard is None:
+            return t
+        return sum(1 for b in range(t) if self._keep_batch(b))
 
     def _epoch_indices(self):
         idx = np.arange(len(self.dataset))
@@ -452,7 +483,9 @@ class PairLoader:
         def producer():
             try:
                 idx = self._epoch_indices()
-                for b in range(len(self)):
+                for b in range(self._total_batches()):
+                    if not self._keep_batch(b):
+                        continue
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     if len(sel) < self.batch_size and self.drop_last:
                         break
@@ -506,8 +539,23 @@ def make_data_loader(config: Config, phase: str, batch_size: int,
         random_scale=use_random_scale,
         transform=transform,
     )
+    # deterministic augmentation stream (reference reproducibility aid:
+    # `PairDataset.reset_seed`, `lib/data_loaders.py:133-135`, seeded at
+    # `train_3DMatch.py:26-27`) — also what keeps multi-process loaders'
+    # sample streams aligned with a single-process run
+    dset.reset_seed(config.seed)
+    # multi-host DP: the TRAIN loader of each process loads only its own
+    # batch groups (group size = local devices); val/test stay unsharded so
+    # every process computes identical metrics and best-val gating agrees
+    shard = None
+    if phase in ("train", "trainval"):
+        import jax
+
+        if jax.process_count() > 1:
+            shard = (jax.process_index(), jax.process_count(),
+                     jax.local_device_count())
     return PairLoader(dset, batch_size, config.max_points, shuffle=shuffle,
-                      seed=config.seed,
+                      seed=config.seed, shard=shard,
                       grid_extent=(tuple(config.grid_extent)
                                    if config.use_grid_maps else None))
 

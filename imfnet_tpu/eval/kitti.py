@@ -21,8 +21,12 @@ from imfnet_tpu.train.step import forward_pair
 from imfnet_tpu.utils.timer import AverageMeter, Timer
 
 
-def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
-    """loader yields PairBatch with batch_size 1 (random_rotation off)."""
+def evaluate_kitti(model, variables, config: Config, loader,
+                   num_devices: int = 1) -> Dict:
+    """loader yields PairBatch with batch_size 1 (random_rotation off).
+    ``num_devices`` > 1 (0 = all devices) registers that many pairs
+    concurrently over a device mesh — batch-of-pairs eval scaling
+    (SURVEY.md §2.3), with identical per-pair math and RNG keys."""
     register = make_pair_registration(
         # the reference KITTI evaluator feeds the FULL voxelized clouds to
         # RANSAC (`evaluation_kitti.py:77-99`, no keypoint subsample);
@@ -58,16 +62,12 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
         return getattr(loader, "skip_count", 0)
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    for i, batch in enumerate(loader):
-        feat_timer.tic()
-        out = eval_pair(params, batch_stats, batch, jax.random.PRNGKey(i))
+
+    def account(i, batch_T_gt, transformation):
         # registration returns the gt.log-convention estimate (maps 1→0,
         # `evaluation_3dmatch.py:182-187`); KITTI GT maps 0→1 — invert
-        T_est = np.linalg.inv(np.asarray(out["transformation"]))
-        feat_timer.toc()
-
-        reg_timer.tic()
-        T_gt = np.asarray(batch.T_gt)[0]
+        T_est = np.linalg.inv(np.asarray(transformation))
+        T_gt = np.asarray(batch_T_gt)
         rte = np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3])
         x = 0.5 * (np.trace(T_est[:3, :3].T @ T_gt[:3, :3]) - 1.0)
         rre = np.degrees(np.arccos(np.clip(x, -1, 1)))
@@ -79,8 +79,6 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
         else:
             success_meter.update(0)
             logging.info("failed pair %d: rte=%.3f rre=%.3f", i, rte, rre)
-        reg_timer.toc()
-
         if (i + 1) % 10 == 0:
             logging.info(
                 "pair %d: RTE %.3f, RRE %.3f, Success %.4f (%d skipped), "
@@ -88,6 +86,53 @@ def evaluate_kitti(model, variables, config: Config, loader) -> Dict:
                 i, rte_meter.avg, rre_meter.avg, success_meter.avg,
                 fail_count(), feat_timer.avg, reg_timer.avg,
             )
+
+    D = num_devices if num_devices else jax.device_count()
+    if D > 1:
+        from imfnet_tpu.parallel.dp import (make_parallel_kitti_eval,
+                                            put_stacked, stack_batches)
+        from imfnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(D)
+        peval = make_parallel_kitti_eval(model, config, mesh, register)
+        group, group_idx = [], []
+        it = enumerate(loader)
+
+        def flush():
+            n_real = len(group)
+            while len(group) < D:               # tail: pad + mask out
+                group.append(group[0])
+            feat_timer.tic()
+            stacked = put_stacked(mesh, stack_batches(group))
+            keys = put_stacked(mesh, jnp.stack(
+                [jax.random.PRNGKey(group_idx[d] if d < n_real else 0)
+                 for d in range(D)]))
+            out = peval(params, batch_stats, stacked, keys)
+            Ts = np.asarray(out["transformation"])
+            feat_timer.toc()
+            reg_timer.tic()
+            for d in range(n_real):
+                account(group_idx[d], np.asarray(group[d].T_gt)[0], Ts[d])
+            reg_timer.toc()
+            group.clear()
+            group_idx.clear()
+
+        for i, batch in it:
+            group.append(batch)
+            group_idx.append(i)
+            if len(group) == D:
+                flush()
+        if group:
+            flush()
+    else:
+        for i, batch in enumerate(loader):
+            feat_timer.tic()
+            out = eval_pair(params, batch_stats, batch, jax.random.PRNGKey(i))
+            T = np.asarray(out["transformation"])
+            feat_timer.toc()
+            reg_timer.tic()
+            account(i, np.asarray(batch.T_gt)[0], T)
+            reg_timer.toc()
 
     result = {
         "rte": rte_meter.avg,

@@ -67,6 +67,8 @@ def generate_descriptors(
     scenes: Optional[List[str]] = None,
     seq_name: str = "seq-01",
     raw_buckets=None,
+    num_devices: int = 1,
+    sharded_n_pad: int = 32768,
 ) -> Dict[str, float]:
     """Walk test scenes; per fragment: PLY+image → extract → save
     `.npz{points, xyz, feature}` (`scripts/generate_desc.py:83-123`).
@@ -119,6 +121,14 @@ def generate_descriptors(
             feature=feats,      # descriptors
         )
 
+    # batch-of-fragments sharding over a device mesh (SURVEY.md §2.3 eval
+    # throughput scaling): num_devices=0 → every addressable device
+    D = num_devices if num_devices else jax.device_count()
+    if D > 1:
+        return _generate_descriptors_sharded(
+            model, variables, config, work, load_one, save_one, D,
+            n_pad=sharded_n_pad)
+
     # PLY/image read-ahead and npz compression run on worker threads (zlib
     # and file IO release the GIL), so the device pipeline stays busy —
     # SURVEY.md §7's "host/data pipeline overlap" requirement applied to the
@@ -159,6 +169,103 @@ def generate_descriptors(
     stats = {"all_time": total_t, "avg_time": total_t / max(count, 1), "count": count}
     logging.info("All Time: %.3f, AVG: %.4f (%d fragments)",
                  stats["all_time"], stats["avg_time"], stats["count"])
+    return stats
+
+
+def _generate_descriptors_sharded(
+    model, variables, config: Config, work, load_one, save_one,
+    num_devices: int, n_pad: int = 32768,
+) -> Dict[str, float]:
+    """Batch-of-fragments descriptor generation over a device mesh: chunks of
+    ``num_devices`` fragments extract concurrently, one per device
+    (parallel.dp.make_sharded_extractor). Artifacts and timing-report
+    semantics match the serial path. Chunks containing a fragment whose
+    voxel span exceeds config.grid_extent run the exact (binary-search)
+    pyramid; fragments that overflow ``n_pad`` voxels are LOUDLY re-run
+    through the single-device bucketed extractor — never truncated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from imfnet_tpu.eval.extract import _span_fits_grid, make_bucketed_extractor
+    from imfnet_tpu.parallel.dp import make_sharded_extractor
+    from imfnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_devices)
+    variants: Dict = {}
+    fallback = [None]
+
+    def extractor_for(n_raw: int, use_grid: bool):
+        key = (n_raw, use_grid)
+        if key not in variants:
+            variants[key] = make_sharded_extractor(
+                model, variables, config, mesh, n_raw=n_raw, n_pad=n_pad,
+                use_grid=use_grid and config.use_grid_maps)
+        return variants[key]
+
+    total_t, count = 0.0, 0
+    chunks = [work[i:i + num_devices] for i in range(0, len(work), num_devices)]
+    with ThreadPoolExecutor(max_workers=4) as readers, \
+            ThreadPoolExecutor(max_workers=4) as writers:
+        pending_saves = []
+        loaded = readers.submit(lambda c: [load_one(it) for it in c],
+                                chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            items = loaded.result()
+            if ci + 1 < len(chunks):
+                loaded = readers.submit(
+                    lambda c: [load_one(it) for it in c], chunks[ci + 1])
+            n_real = len(items)
+            while len(items) < num_devices:     # tail chunk: pad + mask out
+                items.append(items[0])
+            bucket = max(len(it[1]) for it in items)
+            use_grid = all(
+                _span_fits_grid(it[1], it[2], config.voxel_size,
+                                config.grid_extent) for it in items)
+            raws = np.zeros((num_devices, bucket, 3), np.float32)
+            ns = np.zeros((num_devices,), np.int32)
+            imgs = np.zeros((num_devices, config.image_H, config.image_W, 3),
+                            np.float32)
+            for d, (points, raw, n_raw_d, image, out_path) in enumerate(items):
+                raws[d, :len(raw)] = raw
+                ns[d] = n_raw_d
+                imgs[d] = image
+            extract = extractor_for(bucket, use_grid)
+            t0 = time.perf_counter()
+            xyz_down, feats, nvalid = extract(
+                jnp.asarray(raws), jnp.asarray(ns), jnp.asarray(imgs))
+            nvalid = np.asarray(nvalid)
+            xyz_down = np.asarray(xyz_down)
+            feats = np.asarray(feats)
+            total_t += time.perf_counter() - t0
+            count += n_real
+            for d in range(n_real):
+                points, raw, n_raw_d, image, out_path = items[d]
+                if int(nvalid[d]) >= n_pad:
+                    logging.warning(
+                        "fragment %s fills the sharded voxel capacity %d — "
+                        "re-extracting single-device (exact bucketing)",
+                        out_path, n_pad)
+                    if fallback[0] is None:
+                        fallback[0] = make_bucketed_extractor(
+                            model, variables, config=config)
+                    t0 = time.perf_counter()
+                    xd, fd = fallback[0](raw, n_raw_d, jnp.asarray(image[None]))
+                    total_t += time.perf_counter() - t0
+                    pending_saves.append(
+                        writers.submit(save_one, out_path, points, xd, fd))
+                else:
+                    nv = int(nvalid[d])
+                    pending_saves.append(writers.submit(
+                        save_one, out_path, points,
+                        xyz_down[d, :nv].copy(), feats[d, :nv].copy()))
+            while len(pending_saves) > 2 * num_devices:
+                pending_saves.pop(0).result()
+        for f in pending_saves:
+            f.result()
+    stats = {"all_time": total_t, "avg_time": total_t / max(count, 1),
+             "count": count, "num_devices": num_devices}
+    logging.info("All Time: %.3f, AVG: %.4f (%d fragments, %d devices)",
+                 stats["all_time"], stats["avg_time"], stats["count"],
+                 num_devices)
     return stats
 
 

@@ -31,18 +31,25 @@ from imfnet_tpu.utils.timer import AverageMeter, Timer
 
 
 class MetricsWriter:
-    """JSONL scalar log (stands in for tensorboardX, `lib/trainer.py:101`)."""
+    """JSONL scalar log (stands in for tensorboardX, `lib/trainer.py:101`).
+    ``enabled=False`` (non-zero processes in multi-host runs) writes
+    nothing."""
 
-    def __init__(self, out_dir: str):
-        os.makedirs(out_dir, exist_ok=True)
-        self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+    def __init__(self, out_dir: str, enabled: bool = True):
+        self._f = None
+        if enabled:
+            os.makedirs(out_dir, exist_ok=True)
+            self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
 
     def add_scalar(self, tag: str, value, step: int):
+        if self._f is None:
+            return
         self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         self._f.flush()
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 def build_model_from_config(config: Config, compute_dtype=None,
@@ -81,8 +88,33 @@ class Trainer:
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
         self.model = build_model_from_config(config)
-        self.tx = make_optimizer(config, steps_per_epoch or len(data_loader))
-        self.train_step = jax.jit(make_train_step(self.model, self.tx, config))
+        # data parallelism over the pair axis (new capability vs the
+        # single-GPU reference `train_3DMatch.py:45-68`, SURVEY.md §2.3):
+        # the Trainer consumes n_devices loader batches per optimizer step,
+        # stacks them on a leading device axis, and runs the shard_map DP
+        # step (grads/BN stats pmean'd over ICI). Checkpoints, validation,
+        # and best-val gating are identical to single-device.
+        self.n_devices = self._resolve_devices(steps_per_epoch)
+        self.is_main = jax.process_index() == 0
+        spe = ((steps_per_epoch or len(data_loader))
+               // max(config.iter_size, 1) // self.n_devices)
+        self.tx = make_optimizer(config, max(spe, 1))
+        self.mesh = None
+        if self.n_devices > 1:
+            from imfnet_tpu.parallel.dp import make_parallel_train_step
+            from imfnet_tpu.parallel.mesh import make_mesh
+
+            if config.iter_size > 1:
+                raise NotImplementedError(
+                    "iter_size gradient accumulation is not wired together "
+                    "with data parallelism; use data_parallel=1 or "
+                    "iter_size=1")
+            self.mesh = make_mesh(self.n_devices)
+            self.train_step = make_parallel_train_step(
+                self.model, self.tx, config, self.mesh)
+        else:
+            self.train_step = jax.jit(
+                make_train_step(self.model, self.tx, config))
         if config.iter_size > 1:
             from imfnet_tpu.train.step import make_accum_steps
 
@@ -95,12 +127,41 @@ class Trainer:
         self.best_val_epoch = -1
         self.start_epoch = 1
         self.out_dir = config.out_dir
-        os.makedirs(self.out_dir, exist_ok=True)
-        with open(os.path.join(self.out_dir, "config.json"), "w") as f:
-            f.write(config.to_json())
-        self.writer = MetricsWriter(self.out_dir)
+        if self.is_main:
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(os.path.join(self.out_dir, "config.json"), "w") as f:
+                f.write(config.to_json())
+        self.writer = MetricsWriter(self.out_dir, enabled=self.is_main)
         self.state: Optional[TrainState] = None
         self.key = jax.random.PRNGKey(config.seed)
+
+    def _resolve_devices(self, steps_per_epoch: Optional[int]) -> int:
+        """Mesh size from config.data_parallel: 0 = auto (every addressable
+        device, clamped so ≥1 optimizer step per epoch survives), else the
+        explicit count (validated)."""
+        config = self.config
+        avail = jax.device_count()
+        n = config.data_parallel
+        batches = steps_per_epoch or len(self.data_loader)
+        if n == 0:
+            n = max(min(avail, batches // max(config.iter_size, 1)), 1)
+            if n > 1 and config.iter_size > 1:
+                n = 1  # accumulation not wired with DP; auto falls back
+        if n > avail:
+            raise ValueError(
+                f"config.data_parallel={n} but only {avail} devices are "
+                f"addressable")
+        if jax.process_count() > 1 and n != avail:
+            raise ValueError(
+                f"multi-process training requires the mesh to cover every "
+                f"device: data_parallel={n} != global device count {avail} "
+                f"(use --num-devices 0 for auto)")
+        if batches // max(config.iter_size, 1) // n == 0:
+            raise ValueError(
+                f"loader yields {batches} batches per epoch but "
+                f"data_parallel={n} × iter_size={config.iter_size} consumes "
+                f"more; no optimizer step would run")
+        return n
 
     # -- state init ---------------------------------------------------------
     def init_state(self, example_batch: PairBatch) -> TrainState:
@@ -122,6 +183,10 @@ class Trainer:
             self.best_val_epoch = meta.get("best_val_epoch", -1)
             self.best_val_metric = meta.get("best_val_metric", self.best_val_metric)
             logging.info("resumed from %s at epoch %d", self.config.resume, self.start_epoch)
+        if self.mesh is not None:
+            from imfnet_tpu.parallel.dp import replicate
+
+            self.state = replicate(self.mesh, self.state)
         return self.state
 
     # -- epochs -------------------------------------------------------------
@@ -157,20 +222,44 @@ class Trainer:
         loss_meter = AverageMeter()
         it = iter(self.data_loader)
         # iter_size gradient accumulation: n_iter optimizer steps consume
-        # n_iter*iter_size loader batches (`lib/trainer.py:252-307` semantics)
-        n_iter = len(self.data_loader) // max(config.iter_size, 1)
+        # n_iter*iter_size loader batches (`lib/trainer.py:252-307` semantics);
+        # data parallelism consumes n_devices loader batches per step instead
+        # (each device gets a full PairBatch, grads pmean'd — parallel/dp.py)
+        n_local = self.n_devices // jax.process_count()
+        n_iter = len(self.data_loader) // max(config.iter_size, 1) // n_local
         if n_iter == 0:
             raise ValueError(
                 f"loader yields {len(self.data_loader)} batches per epoch but "
-                f"iter_size={config.iter_size}; no optimizer step would run — "
-                f"lower iter_size or grow the dataset/batch split")
+                f"iter_size={config.iter_size} x data_parallel={self.n_devices}"
+                f"; no optimizer step would run — "
+                f"lower them or grow the dataset/batch split")
         for curr_iter in range(n_iter):
             total_timer.tic()
             data_timer.tic()
-            batch = next(it)
-            data_timer.toc()
+            if self.mesh is not None:
+                batches = [next(it)]
+                data_timer.toc()
+                for _ in range(n_local - 1):
+                    data_timer.tic()
+                    batches.append(next(it))
+                    data_timer.toc()
+            else:
+                batch = next(it)
+                data_timer.toc()
             self.key, sub = jax.random.split(self.key)
-            if config.iter_size > 1:
+            if self.mesh is not None:
+                from imfnet_tpu.parallel.dp import put_stacked, stack_batches
+
+                multiproc = jax.process_count() > 1
+                stacked = put_stacked(self.mesh, stack_batches(batches),
+                                      process_local=multiproc)
+                keys = put_stacked(
+                    self.mesh,
+                    jnp.broadcast_to(sub, (n_local,) + sub.shape),
+                    process_local=multiproc)
+                self.state, metrics = self.train_step(self.state, stacked,
+                                                      keys)
+            elif config.iter_size > 1:
                 grads = jax.tree_util.tree_map(
                     jnp.zeros_like, self.state.params)
                 stats = self.state.batch_stats
@@ -214,11 +303,16 @@ class Trainer:
         tot = len(self.val_data_loader)
         if config.val_max_iter > 0:
             tot = min(config.val_max_iter, tot)
+        # under a mesh, params are replicated global arrays; materialize host
+        # copies once so the single-device val jit is free to place them
+        params, stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None:
+            params = jax.device_get(params)
+            stats = jax.device_get(stats)
         it = iter(self.val_data_loader)
         for i in range(tot):
             batch = next(it)
-            out = self.val_step(self.state.params, self.state.batch_stats,
-                                batch, jax.random.PRNGKey(i))
+            out = self.val_step(params, stats, batch, jax.random.PRNGKey(i))
             out = {k: float(v) for k, v in out.items()}
             if not np.isnan(out["rre"]):
                 meters["rre"].update(out["rre"])
@@ -237,6 +331,8 @@ class Trainer:
         return result
 
     def _save(self, epoch, val, name):
+        if not self.is_main:
+            return  # multi-host: params are replicated; process 0 writes
         save_checkpoint(
             self.out_dir, name, self.state, self.config, epoch,
             self.best_val, self.best_val_epoch, self.best_val_metric,

@@ -30,6 +30,9 @@ def make_val_step(model, config: Config, subsample_size: int | None = None):
     config.nn_max_n (result-invariant block size, `lib/eval.py:18-48`)."""
     if subsample_size is None:
         subsample_size = config.val_subsample_size
+    # the reference subsamples min(N, 5000) points (`lib/trainer.py:419`);
+    # a pad capacity below 5000 caps the subsample the same way
+    subsample_size = min(subsample_size, config.max_points)
     nn_block = max(int(config.nn_max_n), 128)
 
     @jax.jit

@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--fit-iters", type=int, default=0,
                     help="0 = closed-form quartic eigensolver")
     ap.add_argument("--out", default="ransac_power.json")
+    ap.add_argument("--timing-only", action="store_true",
+                    help="skip the power-trial loop; record only the "
+                         "on-device chained-loop wall clock per C (VERDICT "
+                         "r4 item 7: run this once on the real TPU — the "
+                         "power columns are platform-independent and stay "
+                         "with the CPU sweep)")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +121,12 @@ def main():
         t0 = time.perf_counter()
         _ = float(dev_loop(jnp.asarray(src_w), jnp.asarray(dst_w)))
         dev_ms = (time.perf_counter() - t0) / 20 * 1e3
+
+        if args.timing_only:
+            row = {"corres": C, "ours_device_ms": round(dev_ms, 2)}
+            table.append(row)
+            print(json.dumps(row), flush=True)
+            continue
 
         for ratio in args.ratios:
             ours = oracle = 0

@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Falsify (or confirm) the low-overlap overfit explanation (VERDICT r4
+item 5).
+
+`low_overlap_r04.json` showed the FULL-pair-trained checkpoint failing the
+3DLoMatch-style gate (1/5 seeds @30% overlap, 0/5 @15%); the offered
+explanation — the model overfits the full pair's global context and crops
+remove it — was never tested. This script generates a TRAINING corpus of
+random plane-swept crop pairs of the same redkitchen fragments (random crop
+direction, random target overlap in [0.25, 0.65], random center quantile —
+varied partial geometry instead of one global view), trains through the
+actual CLI, and re-runs the gate with the crop-trained checkpoint.
+
+Outcomes (both are evidence):
+  - >= 3/5 seeds at 30% overlap → overfit explanation CONFIRMED (training
+    on varied partial views fixes the regime; a real 3DImageMatch corpus
+    would do the same, parity target 3DLoMatch RR 65.9%).
+  - still failing → explanation FALSIFIED; the regime needs real
+    3DImageMatch diversity (recorded as a negative).
+
+The gate's own crops sweep the PRINCIPAL axis at the median center; the
+training corpus sweeps random directions/centers, so the gate geometry is
+never a training sample.
+
+Usage:
+  python scripts_dev/train_crops.py [--pairs 24] [--epochs 48] \
+      [--out low_overlap_crops.json]
+"""
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from low_overlap_gate import voxel_overlap
+from train_real_pair import redkitchen_gt_pose
+
+REF_FILES = "/root/reference/files"
+
+
+def crop_pair(p0: np.ndarray, p1w: np.ndarray, vox: float, target: float,
+              rng: np.random.RandomState, min_pts: int = 20000,
+              iters: int = 12):
+    """One random plane-swept crop pair: direction d ~ uniform sphere,
+    center at a random quantile of the joint projection, half-width h
+    bisected until the gt-aligned voxel overlap ~= target. frag0 keeps
+    proj <= c + h, frag1 keeps proj >= c - h (sides swap at random)."""
+    d = rng.randn(3)
+    d /= np.linalg.norm(d)
+    pr0, pr1 = p0 @ d, p1w @ d
+    allpr = np.concatenate([pr0, pr1])
+    c = float(np.quantile(allpr, rng.uniform(0.35, 0.65)))
+    span = float(allpr.max() - allpr.min())
+    flip = bool(rng.rand() < 0.5)
+    lo, hi = -span / 2, span / 2
+    best = None
+    for _ in range(iters):
+        h = (lo + hi) / 2
+        if flip:
+            c0, c1 = p0[pr0 >= c - h], p1w[pr1 <= c + h]
+        else:
+            c0, c1 = p0[pr0 <= c + h], p1w[pr1 >= c - h]
+        if len(c0) < min_pts or len(c1) < min_pts:
+            lo = h
+            continue
+        ov = voxel_overlap(c0, c1, vox)
+        best = (c0, c1, ov)
+        if ov < target:
+            lo = h
+        else:
+            hi = h
+    return best
+
+
+def build_crop_workdir(workdir: str, n_train: int, n_val: int, vox: float,
+                       seed: int):
+    """Reference-layout training root of crop pairs (one world frame, the
+    overlap-list contract `lib/data_loaders.py:234-291`; images named
+    <fragment>_0.png as `_load_image_for` expects)."""
+    from imfnet_tpu.geom.ply import read_ply, write_ply
+
+    frag = os.path.join(workdir, "root", "frag")
+    os.makedirs(frag, exist_ok=True)
+    os.makedirs(os.path.join(workdir, "overlaps"), exist_ok=True)
+    os.makedirs(os.path.join(workdir, "config"), exist_ok=True)
+
+    T = redkitchen_gt_pose()
+    p0 = read_ply(os.path.join(REF_FILES, "cloud_bin_0.ply"))["points"]
+    p1 = read_ply(os.path.join(REF_FILES, "cloud_bin_1.ply"))["points"]
+    p1w = p1 @ T[:3, :3].T + T[:3, 3]
+
+    rng = np.random.RandomState(seed)
+    lines = {"crops-train": [], "crops-val": []}
+    i = 0
+    made = 0
+    while made < n_train + n_val:
+        target = rng.uniform(0.25, 0.65)
+        got = crop_pair(p0.astype(np.float64), p1w.astype(np.float64),
+                        vox, target, rng)
+        i += 1
+        if got is None:
+            continue
+        c0, c1w, ov = got
+        scene = "crops-train" if made < n_train else "crops-val"
+        a = f"frag/crop_{made:03d}_a.ply"
+        b = f"frag/crop_{made:03d}_b.ply"
+        write_ply(os.path.join(workdir, "root", a), c0.astype(np.float32))
+        write_ply(os.path.join(workdir, "root", b), c1w.astype(np.float32))
+        for rel, src in ((a, "cloud_bin_0_0.png"), (b, "cloud_bin_1_0.png")):
+            dst = os.path.join(workdir, "root", rel[:-4] + "_0.png")
+            if not os.path.exists(dst):
+                os.link(os.path.join(REF_FILES, src), dst)
+        lines[scene].append(f"{a} {b} {ov:.2f}\n")
+        print(f"crop {made:03d} [{scene}]: overlap {ov:.3f} "
+              f"({len(c0)}/{len(c1w)} pts)", flush=True)
+        made += 1
+    for scene, ls in lines.items():
+        with open(os.path.join(workdir, "overlaps", f"{scene}-0.30.txt"),
+                  "w") as f:
+            f.writelines(ls)
+    with open(os.path.join(workdir, "config", "train_3dmatch.txt"), "w") as f:
+        f.write("crops-train\n")
+    with open(os.path.join(workdir, "config", "val_3dmatch.txt"), "w") as f:
+        f.write("crops-val\n")
+    return T
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=24)
+    ap.add_argument("--val-pairs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=48)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--max-points", type=int, default=24576)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--workdir", default="/tmp/crop_train_run")
+    ap.add_argument("--out", default="low_overlap_crops.json")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    run_dir = os.path.join(args.workdir, "run")
+    if not args.skip_train:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        build_crop_workdir(args.workdir, args.pairs, args.val_pairs,
+                           vox=0.025, seed=args.seed)
+
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH: the TPU (axon) PJRT plugin registers through a
+    # sitecustomize on the inherited PYTHONPATH
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if not args.skip_train:
+        cmd = [sys.executable, "-m", "imfnet_tpu.cli", "train",
+               "--dataset", "3dmatch",
+               "--threed-match-dir", os.path.join(args.workdir, "root"),
+               "--overlap-path", os.path.join(args.workdir, "overlaps"),
+               "--out-dir", run_dir,
+               "--batch-size", "1",
+               "--max-epoch", str(args.epochs),
+               "--lr", str(args.lr),
+               "--num-devices", "1",
+               "--max-points", str(args.max_points)]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, cwd=args.workdir, env=env, check=True)
+
+    ckpts = (sorted(glob.glob(os.path.join(run_dir, "best_val_checkpoint*")))
+             or sorted(glob.glob(os.path.join(run_dir, "checkpoint*"))))
+    ckpt = ckpts[-1]
+    print("checkpoint:", ckpt, flush=True)
+
+    # re-run the gate with the crop-trained checkpoint
+    gate_out = os.path.join(args.workdir, "gate.json")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts_dev",
+                                      "low_overlap_gate.py"),
+         "--checkpoint", ckpt, "--out", gate_out],
+        cwd=args.workdir, env=env, check=True)
+    with open(gate_out) as f:
+        gate = json.load(f)
+
+    gate["training"] = {
+        "corpus": (f"{args.pairs} random plane-swept crop pairs "
+                   f"(+{args.val_pairs} val), overlap U[0.25,0.65], random "
+                   "direction/center/side, redkitchen pair (0,1)"),
+        "epochs": args.epochs,
+        "checkpoint": ckpt,
+        "question": "does crop-trained (varied partial geometry) fix the "
+                    "low-overlap gate that the full-pair checkpoint failed "
+                    "(low_overlap_r04.json: 1/5 @30%, 0/5 @15%)?",
+    }
+    with open(args.out, "w") as f:
+        json.dump(gate, f, indent=2)
+    print(json.dumps([{k: r[k] for k in ("target_overlap", "success_rate",
+                                         "mean_inlier_ratio")}
+                      for r in gate["rows"]]))
+    print("written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

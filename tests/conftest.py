@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the axon sitecustomize imports jax at interpreter startup, before the env
+# vars above exist — set the persistent-cache config directly so CPU test
+# compiles actually cache across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # Make float32 matmuls actually float32 in tests (TPU/axon would otherwise
 # run single-pass bf16 and break oracle comparisons).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -49,7 +49,8 @@ def test_low_overlap_crop_and_register(tmp_path):
               "--out-dir", run_dir,
               "--batch-size", "1", "--max-epoch", "2", "--lr", "0.1",
               "--voxel-size", "0.05", "--max-points", "8192",
-              "--model-n-out", "16", "--conv1-kernel-size", "3"])
+              "--model-n-out", "16", "--conv1-kernel-size", "3",
+              "--num-devices", "1"])
     finally:
         os.chdir(cwd)
     ckpt = sorted(glob.glob(os.path.join(run_dir, "checkpoint*")))[-1]

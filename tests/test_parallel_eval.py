@@ -1,0 +1,111 @@
+"""Sharded evaluation paths (VERDICT r4 item 1: make parallel/dp.py
+user-reachable): batch-of-fragments descriptor extraction and
+batch-of-pairs KITTI evaluation over the 8-virtual-device CPU mesh, each
+asserted equal to the single-device path."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from imfnet_tpu.config import threedmatch_config
+from imfnet_tpu.models import load_model
+
+
+def small_config(**kw):
+    base = dict(
+        batch_size=1,
+        conv1_kernel_size=3,
+        model_n_out=16,
+        max_points=512,
+        voxel_size=0.05,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return threedmatch_config(**base)
+
+
+def make_model(config):
+    return load_model(config.model)(
+        in_channels=1,
+        out_channels=config.model_n_out,
+        conv1_kernel_size=config.conv1_kernel_size,
+        normalize_feature=config.normalize_feature,
+        bn_momentum=config.bn_momentum,
+        compute_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    from imfnet_tpu.data.synthetic import synthetic_batch
+    from imfnet_tpu.sparse.coords import SparseVoxels
+    from imfnet_tpu.sparse.kernel_map import build_pyramid
+    from imfnet_tpu.train.step import level_capacities
+
+    config = small_config()
+    model = make_model(config)
+    rng = np.random.RandomState(0)
+    b = synthetic_batch(rng, batch_size=1, n_points=200,
+                        n_pad=config.max_points, image_hw=(120, 160))
+    sv = SparseVoxels(b.coords0, b.feats0, b.n0)
+    pyr = build_pyramid(b.coords0, b.n0,
+                        conv1_kernel_size=config.conv1_kernel_size,
+                        level_capacity=level_capacities(config.max_points))
+    variables = model.init(jax.random.PRNGKey(0), sv, pyr, b.image0,
+                           train=False)
+    return config, model, variables
+
+
+def test_sharded_extractor_matches_single_device(model_and_vars):
+    from imfnet_tpu.eval.extract import make_extractor
+    from imfnet_tpu.parallel.dp import make_sharded_extractor
+    from imfnet_tpu.parallel.mesh import make_mesh
+
+    config, model, variables = model_and_vars
+    D, n_raw, n_pad = 8, 1024, 512
+    rng = np.random.RandomState(1)
+    raws = np.zeros((D, n_raw, 3), np.float32)
+    ns = rng.randint(300, 900, size=D).astype(np.int32)
+    for d in range(D):
+        raws[d, :ns[d]] = rng.rand(ns[d], 3).astype(np.float32) * 1.2
+    images = rng.rand(D, 120, 160, 3).astype(np.float32)
+
+    mesh = make_mesh(D)
+    sharded = make_sharded_extractor(model, variables, config, mesh,
+                                     n_raw=n_raw, n_pad=n_pad)
+    xd_s, f_s, nv_s = sharded(jnp.asarray(raws), jnp.asarray(ns),
+                              jnp.asarray(images))
+    xd_s, f_s, nv_s = map(np.asarray, (xd_s, f_s, nv_s))
+
+    single = make_extractor(model, variables, config=config, n_pad=n_pad)
+    for d in range(D):
+        xd, f, nv = single(jnp.asarray(raws[d]), int(ns[d]),
+                           jnp.asarray(images[d][None]))
+        nv = int(nv)
+        assert nv == int(nv_s[d]) > 0
+        np.testing.assert_allclose(xd_s[d][:nv], np.asarray(xd)[:nv],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(f_s[d][:nv], np.asarray(f)[:nv],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_evaluate_kitti_sharded_matches_single(model_and_vars):
+    from imfnet_tpu.data.synthetic import synthetic_batch
+    from imfnet_tpu.eval.kitti import evaluate_kitti
+
+    config, model, variables = model_and_vars
+    config = config.replace(ransac_max_iteration=512, ransac_n=4)
+    rng = np.random.RandomState(2)
+    # 5 pairs: exercises one full group of 4 and a padded tail group
+    batches = [synthetic_batch(rng, batch_size=1, n_points=200,
+                               n_pad=config.max_points, image_hw=(120, 160))
+               for _ in range(5)]
+
+    r1 = evaluate_kitti(model, variables, config, list(batches),
+                        num_devices=1)
+    r4 = evaluate_kitti(model, variables, config, list(batches),
+                        num_devices=4)
+    assert r1["num_pairs"] == r4["num_pairs"] == 5
+    assert r1["success_rate"] == r4["success_rate"]
+    np.testing.assert_allclose(r4["rte"], r1["rte"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(r4["rre"], r1["rre"], rtol=1e-3, atol=1e-5)

@@ -45,7 +45,8 @@ def test_real_pair_cli_train_loop(tmp_path):
               "--out-dir", run_dir,
               "--batch-size", "1", "--max-epoch", "2", "--lr", "0.1",
               "--voxel-size", "0.05", "--max-points", "8192",
-              "--model-n-out", "16", "--conv1-kernel-size", "3"])
+              "--model-n-out", "16", "--conv1-kernel-size", "3",
+              "--num-devices", "1"])
     finally:
         os.chdir(cwd)
 
