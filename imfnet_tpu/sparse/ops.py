@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from imfnet_tpu.sparse.pallas_conv import (banded_conv_pallas_planned,
                                            banded_conv_pallas_union,
+                                           block_live,
                                            plan_windows, plan_windows_union)
 
 
@@ -340,6 +341,9 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
     # (W is then the UNION width over all kernel columns)
     kind = plan[3] if len(plan) > 3 else "col"
 
+    # dead-block skip: trailing capacity-padding blocks (valid rows are a
+    # compacted prefix) issue no DMA and no selection work in the kernel
+    live = block_live(nbr, B)
     if kind == "union":
         nbr_p, starts, exact = plan_windows_union(nbr, W, n_in,
                                                   block=B, pack=pack)
@@ -348,7 +352,8 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
 
         def tier(width):
             return lambda: banded_conv_pallas_union(
-                x, nbr_p, starts, w, n_out, block=B, width=width, pack=pack)
+                x, nbr_p, starts, w, n_out, block=B, width=width, pack=pack,
+                live=live)
     else:
         nbr_p, starts, exact = plan_windows(nbr, kz, W, n_in,
                                             block=B, pack=pack)
@@ -357,7 +362,7 @@ def _pallas_banded_apply(x, nbr, w, kz: int):
         def tier(width):
             return lambda: banded_conv_pallas_planned(
                 x, nbr_p, starts, w, n_out, kz=kz, block=B, width=width,
-                pack=pack, sel_t=sel_t)
+                pack=pack, sel_t=sel_t, live=live)
 
     return jax.lax.cond(
         exact, tier(W),

@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel_merged(ncol: int, kz: int, width: int, pack: int, cin: int,
-                   starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win, selbuf,
-                   sem):
+                   starts_ref, live_ref, nbrt_ref, x_any, wf_ref, out_ref,
+                   win, selbuf, sem):
     """Variant of _kernel: stage all k selections into one VMEM buffer and
     apply the weights with ONE [B, k*cp] @ [k*cp, cout] matmul instead of k
     accumulated [B, cp] @ [cp, cout] matmuls — k-1 fewer MXU ops per block
@@ -54,6 +54,7 @@ def _kernel_merged(ncol: int, kz: int, width: int, pack: int, cin: int,
 
     wf_ref : VMEM [k*cp, cout]   weights flattened (pack-tiled) on the host
     selbuf : VMEM [B, k*cp]      staged selections (compute dtype)
+    live_ref : SMEM int32[nb]    dead-block skip (see _kernel_union)
     """
     i = pl.program_id(0)
     B = nbrt_ref.shape[1]
@@ -66,49 +67,56 @@ def _kernel_merged(ncol: int, kz: int, width: int, pack: int, cin: int,
         return pltpu.make_async_copy(
             x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
 
-    dma(0, 0).start()
-    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
-    if pack > 1:
-        # E[p, l] = 1 iff lane l belongs to group p (constant, loop-hoisted)
-        lane_grp = jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 1) // cin
-        grp_iota = jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 0)
-        E = (lane_grp == grp_iota).astype(dt)            # [P, 128]
-        grp_rows = jax.lax.broadcasted_iota(jnp.int32, (pack, B), 0)
-    for col in range(ncol):
-        slot = col % 2
-        if col + 1 < ncol:
-            dma(slot ^ 1, col + 1).start()
-        dma(slot, col).wait()
-        start = starts_ref[i, col]
-        for d in range(kz):
-            j = col * kz + d
-            t = nbrt_ref[j:j + 1, :]                     # [1,B]; -1 if none
-            if pack > 1:
-                tp = jax.lax.shift_right_arithmetic(t, shift)
-                loc = tp - start                         # packed-row offset
-            else:
-                loc = t - start
-            oh = (iota == loc).astype(dt)                # [width, B]
-            sel = jax.lax.dot_general(                   # [B, cp]
-                oh, win[slot], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if pack > 1:
-                # mask lanes to this row's group: (-1 rows select nothing
-                # already — their one-hot column is all zero)
-                ohg = (grp_rows == (t & (pack - 1))).astype(dt)   # [P, B]
-                m = jax.lax.dot_general(                 # [B, 128]
-                    ohg, E, (((0,), (0,)), ((), ())),
+    @pl.when(live_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(live_ref[i] != 0)
+    def _():
+        dma(0, 0).start()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+        if pack > 1:
+            # E[p,l] = 1 iff lane l belongs to group p (constant, hoisted)
+            lane_grp = (jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 1)
+                        // cin)
+            grp_iota = jax.lax.broadcasted_iota(jnp.int32, (pack, 128), 0)
+            E = (lane_grp == grp_iota).astype(dt)        # [P, 128]
+            grp_rows = jax.lax.broadcasted_iota(jnp.int32, (pack, B), 0)
+        for col in range(ncol):
+            slot = col % 2
+            if col + 1 < ncol:
+                dma(slot ^ 1, col + 1).start()
+            dma(slot, col).wait()
+            start = starts_ref[i, col]
+            for d in range(kz):
+                j = col * kz + d
+                t = nbrt_ref[j:j + 1, :]                 # [1,B]; -1 if none
+                if pack > 1:
+                    tp = jax.lax.shift_right_arithmetic(t, shift)
+                    loc = tp - start                     # packed-row offset
+                else:
+                    loc = t - start
+                oh = (iota == loc).astype(dt)            # [width, B]
+                sel = jax.lax.dot_general(               # [B, cp]
+                    oh, win[slot], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                sel = sel * m
-            selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
-    out_ref[:] = jax.lax.dot_general(                    # [B, cout]
-        selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+                if pack > 1:
+                    # mask lanes to this row's group: (-1 rows select
+                    # nothing already — their one-hot column is all zero)
+                    ohg = (grp_rows == (t & (pack - 1))).astype(dt)  # [P,B]
+                    m = jax.lax.dot_general(             # [B, 128]
+                        ohg, E, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    sel = sel * m
+                selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
+        out_ref[:] = jax.lax.dot_general(                # [B, cout]
+            selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
-                     starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win,
-                     selbuf, sem):
+                     starts_ref, live_ref, nbrt_ref, x_any, wf_ref, out_ref,
+                     win, selbuf, sem):
     """Transposed-selection variant of _kernel_merged for pack > 1: the
     selection matmul contracts into [cp, B] (features on sublanes, rows on
     lanes), so the per-row lane-group mask is a pure VPU compare of a
@@ -139,39 +147,45 @@ def _kernel_merged_t(ncol: int, kz: int, width: int, pack: int, cin: int,
         return pltpu.make_async_copy(
             x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
 
-    dma(0, 0).start()
-    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
-    # lane-group of each sublane position, broadcast over B lanes
-    sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
-    for col in range(ncol):
-        slot = col % 2
-        if col + 1 < ncol:
-            dma(slot ^ 1, col + 1).start()
-        dma(slot, col).wait()
-        start = starts_ref[i, col]
-        for d in range(kz):
-            j = col * kz + d
-            t = nbrt_ref[j:j + 1, :]                     # [1,B]; -1 if none
-            tp = jax.lax.shift_right_arithmetic(t, shift)
-            loc = tp - start
-            oh = (iota == loc).astype(dt)                # [width, B]
-            sel = jax.lax.dot_general(                   # [cp, B]
-                win[slot], oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
-            sm = sel * m
-            acc = sm[0:cin, :]
-            for p in range(1, pack):
-                acc = acc + sm[p * cin:(p + 1) * cin, :]
-            selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
-    out_ref[:] = jax.lax.dot_general(                    # [B, cout]
-        selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(live_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(live_ref[i] != 0)
+    def _():
+        dma(0, 0).start()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+        # lane-group of each sublane position, broadcast over B lanes
+        sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
+        for col in range(ncol):
+            slot = col % 2
+            if col + 1 < ncol:
+                dma(slot ^ 1, col + 1).start()
+            dma(slot, col).wait()
+            start = starts_ref[i, col]
+            for d in range(kz):
+                j = col * kz + d
+                t = nbrt_ref[j:j + 1, :]                 # [1,B]; -1 if none
+                tp = jax.lax.shift_right_arithmetic(t, shift)
+                loc = tp - start
+                oh = (iota == loc).astype(dt)            # [width, B]
+                sel = jax.lax.dot_general(               # [cp, B]
+                    win[slot], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
+                sm = sel * m
+                acc = sm[0:cin, :]
+                for p in range(1, pack):
+                    acc = acc + sm[p * cin:(p + 1) * cin, :]
+                selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
+        out_ref[:] = jax.lax.dot_general(                # [B, cout]
+            selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _kernel_union(k: int, width: int, pack: int, cin: int,
-                  starts_ref, nbrt_ref, x_any, wf_ref, out_ref, win, selbuf,
-                  sem):
+                  starts_ref, live_ref, nbrt_ref, x_any, wf_ref, out_ref,
+                  win, selbuf, sem):
     """UNION-window variant: ONE DMA per output block covering the union of
     all kernel columns' windows, double-buffered ACROSS grid steps (block
     i's compute overlaps block i+1's window fetch). The per-column kernels
@@ -179,6 +193,15 @@ def _kernel_union(k: int, width: int, pack: int, cin: int,
     round-4 sweep showed they are DMA/issue bound, not FLOP bound — the
     union window trades a ~2× wider one-hot (idle MXU headroom) for 9×
     fewer DMA issues and ~4× fewer window bytes.
+
+    DEAD-BLOCK SKIP (round 5): ``live_ref`` int32[nb] marks blocks with any
+    valid target. Valid rows are a compacted prefix of the padded table
+    (sparse/coords.py), so the trailing capacity blocks are all-dead — the
+    grid still visits them, but a dead block issues no DMA, waits on
+    nothing, and writes zeros (at bench shapes ~40% of L0 blocks are dead;
+    their one-hot+GEMM work was pure padding overhead). DMA bookkeeping
+    stays exact: block j's window DMA is started (at step j-1, or j==0)
+    and waited (at step j) iff live[j].
 
     Layouts: pack > 1 uses the transposed selection + group-sum compression
     of _kernel_merged_t (selbuf [k*cin, B]); pack == 1 uses the
@@ -196,51 +219,73 @@ def _kernel_union(k: int, width: int, pack: int, cin: int,
         return pltpu.make_async_copy(
             x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (live_ref[0] != 0))
     def _():
         dma(0, 0).start()
 
-    @pl.when(i + 1 < nb)
+    nxt = jnp.minimum(i + 1, nb - 1)
+
+    @pl.when((i + 1 < nb) & (live_ref[nxt] != 0))
     def _():
         dma((i + 1) % 2, i + 1).start()
 
-    slot = i % 2
-    dma(slot, i).wait()
-    start = starts_ref[i]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
-    if pack > 1:
-        sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
-    for j in range(k):
-        t = nbrt_ref[j:j + 1, :]                         # [1,B]; -1 if none
+    @pl.when(live_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(live_ref[i] != 0)
+    def _():
+        slot = i % 2
+        dma(slot, i).wait()
+        start = starts_ref[i]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
         if pack > 1:
-            tp = jax.lax.shift_right_arithmetic(t, shift)
-            loc = tp - start
-        else:
-            loc = t - start
-        oh = (iota == loc).astype(dt)                    # [width, B]
+            sub_grp = jax.lax.broadcasted_iota(jnp.int32, (cp, B), 0) // cin
+        for j in range(k):
+            t = nbrt_ref[j:j + 1, :]                     # [1,B]; -1 if none
+            if pack > 1:
+                tp = jax.lax.shift_right_arithmetic(t, shift)
+                loc = tp - start
+            else:
+                loc = t - start
+            oh = (iota == loc).astype(dt)                # [width, B]
+            if pack > 1:
+                sel = jax.lax.dot_general(               # [cp, B]
+                    win[slot], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
+                sm = sel * m
+                acc = sm[0:cin, :]
+                for p in range(1, pack):
+                    acc = acc + sm[p * cin:(p + 1) * cin, :]
+                selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
+            else:
+                sel = jax.lax.dot_general(               # [B, cp]
+                    oh, win[slot], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
         if pack > 1:
-            sel = jax.lax.dot_general(                   # [cp, B]
-                win[slot], oh, (((0,), (0,)), ((), ())),
+            out_ref[:] = jax.lax.dot_general(            # [B, cout]
+                selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            m = (sub_grp == (t & (pack - 1))).astype(jnp.float32)
-            sm = sel * m
-            acc = sm[0:cin, :]
-            for p in range(1, pack):
-                acc = acc + sm[p * cin:(p + 1) * cin, :]
-            selbuf[j * cin:(j + 1) * cin, :] = acc.astype(dt)
         else:
-            sel = jax.lax.dot_general(                   # [B, cp]
-                oh, win[slot], (((0,), (0,)), ((), ())),
+            out_ref[:] = jax.lax.dot_general(            # [B, cout]
+                selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            selbuf[:, j * cp:(j + 1) * cp] = sel.astype(dt)
-    if pack > 1:
-        out_ref[:] = jax.lax.dot_general(                # [B, cout]
-            selbuf[:, :], wf_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    else:
-        out_ref[:] = jax.lax.dot_general(                # [B, cout]
-            selbuf[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+
+def block_live(nbr: jax.Array, block: int) -> jax.Array:
+    """int32[nb]: 1 where a block of ``block`` output rows has ANY valid
+    kernel target. Valid rows are a compacted prefix of the padded table
+    (sparse/coords.py quantize), so dead blocks are the trailing capacity
+    padding — the kernels skip their DMA + compute entirely and write zeros
+    (identical to the all-(-1) one-hot result, at none of the cost)."""
+    n_out, k = nbr.shape
+    nb = -(-n_out // block)
+    if nb * block != n_out:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((nb * block - n_out, k), -1, jnp.int32)], 0)
+    return jnp.any(nbr.reshape(nb, block * k) >= 0, axis=1).astype(jnp.int32)
 
 
 def plan_windows_union(nbr: jax.Array, width: int, n_in: int,
@@ -280,6 +325,7 @@ def banded_conv_pallas_union(
     block: int = 256,
     width: int = 512,
     pack: int = 1,
+    live: jax.Array | None = None,   # int32[nb] from block_live; None = all
     interpret: bool = False,
 ) -> jax.Array:
     """Union-window kernel invocation (assumes plan_windows_union said
@@ -290,6 +336,8 @@ def banded_conv_pallas_union(
     cout = w.shape[2]
     B = block
     nb = nbr.shape[0] // B
+    if live is None:
+        live = jnp.ones((nb,), jnp.int32)
 
     if pack > 1:
         assert pack & (pack - 1) == 0 and pack * cin == 128, (pack, cin)
@@ -311,15 +359,15 @@ def banded_conv_pallas_union(
 
     kern = functools.partial(_kernel_union, k, width, pack, cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((k, B), lambda i, s: (0, i),
+            pl.BlockSpec((k, B), lambda i, s, l: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((B, cout), lambda i, s, l: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, width, cp), x.dtype),
@@ -337,12 +385,12 @@ def banded_conv_pallas_union(
             bytes_accessed=nb * width * cp * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(starts, nbr.T, x_pad, w_in)
+    )(starts, live, nbr.T, x_pad, w_in)
     return out[:n_out]
 
 
 def _kernel(ncol: int, kz: int, width: int,
-            starts_ref, nbrt_ref, x_any, w_ref, out_ref, win, sem):
+            starts_ref, live_ref, nbrt_ref, x_any, w_ref, out_ref, win, sem):
     """One grid step = one block of B output rows, all k = ncol*kz offsets.
 
     starts_ref : SMEM int32[nb, ncol]  per-block per-column window starts
@@ -366,27 +414,33 @@ def _kernel(ncol: int, kz: int, width: int,
         return pltpu.make_async_copy(
             x_any.at[pl.ds(s, width), :], win.at[slot], sem.at[slot])
 
-    dma(0, 0).start()
-    iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
-    acc = jnp.zeros((B, cout), jnp.float32)
-    for col in range(ncol):
-        slot = col % 2
-        if col + 1 < ncol:
-            dma(slot ^ 1, col + 1).start()
-        dma(slot, col).wait()
-        start = starts_ref[i, col]
-        for d in range(kz):
-            j = col * kz + d
-            loc = nbrt_ref[j:j + 1, :] - start           # [1,B]; <0 if none
-            oh = (iota == loc).astype(dt)                # [width, B]
-            # one 1.0 per column of oh → selection is exact in any dtype
-            sel = jax.lax.dot_general(                   # [B, cp]
-                oh, win[slot], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = acc + jax.lax.dot_general(             # [B, cout]
-                sel.astype(dt), w_ref[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    @pl.when(live_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(live_ref[i] != 0)
+    def _():
+        dma(0, 0).start()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (width, B), 0)
+        acc = jnp.zeros((B, cout), jnp.float32)
+        for col in range(ncol):
+            slot = col % 2
+            if col + 1 < ncol:
+                dma(slot ^ 1, col + 1).start()
+            dma(slot, col).wait()
+            start = starts_ref[i, col]
+            for d in range(kz):
+                j = col * kz + d
+                loc = nbrt_ref[j:j + 1, :] - start       # [1,B]; <0 if none
+                oh = (iota == loc).astype(dt)            # [width, B]
+                # one 1.0 per oh column → selection is exact in any dtype
+                sel = jax.lax.dot_general(               # [B, cp]
+                    oh, win[slot], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot_general(         # [B, cout]
+                    sel.astype(dt), w_ref[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        out_ref[:] = acc
 
 
 def plan_windows(nbr: jax.Array, kz: int, width: int, n_in: int,
@@ -441,6 +495,7 @@ def banded_conv_pallas_planned(
     pack: int = 1,
     sel_t: bool = True,
     merged: bool = True,
+    live: jax.Array | None = None,   # int32[nb] from block_live; None = all
     interpret: bool = False,
 ) -> jax.Array:
     """The kernel invocation half of banded_conv_pallas: assumes
@@ -457,6 +512,8 @@ def banded_conv_pallas_planned(
     ncol = k // kz
     B = block
     nb = nbr.shape[0] // B
+    if live is None:
+        live = jnp.ones((nb,), jnp.int32)
 
     if pack > 1:
         assert merged and pack & (pack - 1) == 0 and pack * cin == 128, \
@@ -506,15 +563,15 @@ def banded_conv_pallas_planned(
         w_in = w
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(nbr_block, lambda i, s: (0, i),
+            pl.BlockSpec(nbr_block, lambda i, s, l: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, cout), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((B, cout), lambda i, s, l: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -529,7 +586,7 @@ def banded_conv_pallas_planned(
             bytes_accessed=nb * ncol * width * cp * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(starts, nbr_t, x_pad, w_in)
+    )(starts, live, nbr_t, x_pad, w_in)
     return out[:n_out]
 
 
@@ -559,5 +616,6 @@ def banded_conv_pallas(
     out = banded_conv_pallas_planned(x, nbr_p, starts, w, n_out, kz=kz,
                                      block=block, width=width, pack=pack,
                                      sel_t=sel_t, merged=merged,
+                                     live=block_live(nbr, block),
                                      interpret=interpret)
     return out, exact

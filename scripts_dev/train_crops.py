@@ -143,14 +143,22 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--workdir", default="/tmp/crop_train_run")
     ap.add_argument("--out", default="low_overlap_crops.json")
-    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing run dir (debugging)")
+    ap.add_argument("--build-only", action="store_true",
+                    help="generate the crop corpus and exit (lets the "
+                         "CPU-bound build run while the TPU is busy)")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="train on an already-built workdir")
     args = ap.parse_args()
 
     run_dir = os.path.join(args.workdir, "run")
-    if not args.skip_train:
+    if not (args.skip_train or args.skip_build):
         shutil.rmtree(args.workdir, ignore_errors=True)
         build_crop_workdir(args.workdir, args.pairs, args.val_pairs,
                            vox=0.025, seed=args.seed)
+    if args.build_only:
+        return
 
     env = dict(os.environ)
     # APPEND to PYTHONPATH: the TPU (axon) PJRT plugin registers through a

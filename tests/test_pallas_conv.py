@@ -182,3 +182,45 @@ def test_plan_windows_union_overflow():
     nbr = _banded_map(rng, 900, 300, 27, 3)
     _, _, exact = plan_windows_union(nbr, 16, 900, block=128)
     assert not bool(exact)
+
+
+@pytest.mark.parametrize("kind,pack", [("col", 1), ("col", 2),
+                                       ("union", 1), ("union", 4)])
+def test_dead_suffix_blocks_skipped_and_zero(kind, pack):
+    """Capacity padding (valid rows are a compacted prefix) makes trailing
+    blocks all-(-1): block_live marks them dead, the kernels skip their
+    DMA/compute, and their output rows are exactly zero — identical to the
+    oracle over the full padded table."""
+    from imfnet_tpu.sparse.pallas_conv import (banded_conv_pallas,
+                                               banded_conv_pallas_union,
+                                               block_live,
+                                               plan_windows_union)
+
+    cin = 128 // pack if pack > 1 else 48
+    cout = 32
+    n_valid, n_pad = 500, 1024            # blocks of 128: 4 live, 4 dead
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(n_pad, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(27, cin, cout) * 0.05).astype(np.float32))
+    nbr_valid = _banded_map(rng, n_valid, n_valid, 27, 3)
+    nbr = jnp.concatenate(
+        [nbr_valid, jnp.full((n_pad - n_valid, 27), -1, jnp.int32)], 0)
+    live = block_live(nbr, 128)
+    assert live.tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+    if kind == "col":
+        out, exact = banded_conv_pallas(x, nbr, w, kz=3, block=128,
+                                        width=1024 // max(pack, 1),
+                                        pack=pack, interpret=True)
+        assert bool(exact)
+    else:
+        width = 2048 // max(pack, 1)
+        nbr_p, starts, exact = plan_windows_union(nbr, width, n_pad,
+                                                  block=128, pack=pack)
+        assert bool(exact)
+        out = banded_conv_pallas_union(x, nbr_p, starts, w, n_pad,
+                                       block=128, width=width, pack=pack,
+                                       live=live, interpret=True)
+    ref = _oracle(x, nbr, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(out)[n_valid + 12:] == 0.0)
