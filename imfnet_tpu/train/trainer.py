@@ -96,8 +96,12 @@ class Trainer:
         # and best-val gating are identical to single-device.
         self.n_devices = self._resolve_devices(steps_per_epoch)
         self.is_main = jax.process_index() == 0
+        # the loader is PROCESS-LOCAL (multi-host shards it by batch groups,
+        # datasets.make_data_loader), so optimizer steps/epoch divide by the
+        # LOCAL devices consuming from it, not the global mesh size
+        n_local = max(self.n_devices // jax.process_count(), 1)
         spe = ((steps_per_epoch or len(data_loader))
-               // max(config.iter_size, 1) // self.n_devices)
+               // max(config.iter_size, 1) // n_local)
         self.tx = make_optimizer(config, max(spe, 1))
         self.mesh = None
         if self.n_devices > 1:
@@ -144,7 +148,10 @@ class Trainer:
         n = config.data_parallel
         batches = steps_per_epoch or len(self.data_loader)
         if n == 0:
-            n = max(min(avail, batches // max(config.iter_size, 1)), 1)
+            # feasibility: each process must feed its local share of the
+            # mesh from its (sharded) loader at least once per epoch
+            feed = (batches // max(config.iter_size, 1)) * jax.process_count()
+            n = max(min(avail, feed), 1)
             if n > 1 and config.iter_size > 1:
                 n = 1  # accumulation not wired with DP; auto falls back
         if n > avail:
@@ -156,7 +163,11 @@ class Trainer:
                 f"multi-process training requires the mesh to cover every "
                 f"device: data_parallel={n} != global device count {avail} "
                 f"(use --num-devices 0 for auto)")
-        if batches // max(config.iter_size, 1) // n == 0:
+        # ``batches`` counts the PROCESS-LOCAL loader (multi-host loaders are
+        # sharded by batch groups), so starvation is judged against the
+        # devices this process feeds
+        n_local = max(n // jax.process_count(), 1)
+        if batches // max(config.iter_size, 1) // n_local == 0:
             raise ValueError(
                 f"loader yields {batches} batches per epoch but "
                 f"data_parallel={n} × iter_size={config.iter_size} consumes "

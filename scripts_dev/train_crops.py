@@ -178,8 +178,13 @@ def main():
         print("+", " ".join(cmd), flush=True)
         subprocess.run(cmd, cwd=args.workdir, env=env, check=True)
 
-    ckpts = (sorted(glob.glob(os.path.join(run_dir, "best_val_checkpoint*")))
-             or sorted(glob.glob(os.path.join(run_dir, "checkpoint*"))))
+    # gate the FINAL checkpoint, not best_val: on this corpus the
+    # feat_match_ratio val metric sits at exactly 0.0 for many epochs
+    # (τ-threshold too coarse early), and best-val keeps the FIRST tie —
+    # i.e. the epoch-1 model. (First run of this script hit exactly that:
+    # the gate scored an untrained checkpoint. Recorded in the JSON.)
+    ckpts = [c for c in sorted(glob.glob(os.path.join(run_dir, "checkpoint*")))
+             if "best_val" not in c]
     ckpt = ckpts[-1]
     print("checkpoint:", ckpt, flush=True)
 
@@ -193,12 +198,23 @@ def main():
     with open(gate_out) as f:
         gate = json.load(f)
 
+    # final-epoch validation summary (context for the gate numbers)
+    val = {}
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for ln in f:
+            rec = json.loads(ln)
+            if rec["tag"].startswith("val/"):
+                val[rec["tag"][4:]] = rec["value"]
     gate["training"] = {
         "corpus": (f"{args.pairs} random plane-swept crop pairs "
                    f"(+{args.val_pairs} val), overlap U[0.25,0.65], random "
                    "direction/center/side, redkitchen pair (0,1)"),
         "epochs": args.epochs,
         "checkpoint": ckpt,
+        "final_val": val,
+        "note": ("gates the FINAL checkpoint: feat_match_ratio stays 0.0 "
+                 "for many epochs on this harder corpus and best-val keeps "
+                 "the first tie, i.e. the epoch-1 model"),
         "question": "does crop-trained (varied partial geometry) fix the "
                     "low-overlap gate that the full-pair checkpoint failed "
                     "(low_overlap_r04.json: 1/5 @30%, 0/5 @15%)?",
