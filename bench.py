@@ -594,8 +594,12 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# roofline unavailable: {e}", file=sys.stderr)
         emit()
-    elif "forward_ms" not in stages:
+    else:
+        # skipped either because forward_ms itself was skipped or because
+        # the budget guard fired — record it either way (the docstring's
+        # skipped_sections contract)
         skipped.append("mfu")
+        emit()
 
     # ---- training-step timing + MFU (VERDICT r3 weak item 6: the training
     # path gets the same honest FLOP accounting as the eval forward) ----

@@ -360,7 +360,8 @@ def main(argv=None):
                     dest="num_devices",
                     help="data-parallel mesh size over the pair axis: "
                          "0 = auto (all devices), 1 = single device, "
-                         "N = exactly N (default: auto)")
+                         "N = exactly N (default: 1 — DP is opt-in because "
+                         "it changes effective batch size and steps/epoch)")
     # multi-host (DCN): one process per host, rendezvous at the coordinator
     pt.add_argument("--num-processes", type=int, default=None)
     pt.add_argument("--process-id", type=int, default=None)

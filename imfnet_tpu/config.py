@@ -124,8 +124,11 @@ class Config:
     # remains. 1 = single device. >1 = exactly that many devices (error if
     # unavailable). The Trainer consumes `data_parallel` loader batches per
     # optimizer step and pmean's grads/BN stats over the mesh
-    # (parallel/dp.py); `cli train --num-devices` sets this.
-    data_parallel: int = 0
+    # (parallel/dp.py); `cli train --num-devices` sets this. Default 1 —
+    # DP changes training dynamics (N× effective batch, N× fewer optimizer
+    # steps per epoch), so scaling is OPT-IN and a flagless rerun of an old
+    # command keeps its reference-parity loss curve.
+    data_parallel: int = 1
     # SyntheticPairDataset size knobs (smoke training / CI; not in the
     # reference): pairs per epoch and raw points per fragment
     synthetic_length: int = 64

@@ -446,7 +446,10 @@ class PairLoader:
         # processes, so the union over processes at each global step equals
         # the single-process epoch (the DP Trainer consumes ``group``
         # batches per optimizer step). Identical epoch seed on every process
-        # keeps the permutations aligned.
+        # keeps the permutations aligned. Only COMPLETE rounds (one group
+        # per rank) are kept: a ragged tail would give ranks unequal batch
+        # counts, and the rank with the extra group would enter the global
+        # pmean collective alone and deadlock the job.
         self.shard = shard
         # samples dropped by ValueError (e.g. KITTI <1000-GT-match rejection,
         # `lib/data_loaders.py:588`); reset each __iter__, consumed by
@@ -461,13 +464,16 @@ class PairLoader:
         if self.shard is None:
             return True
         rank, world, group = self.shard
-        return (b // group) % world == rank
+        rounds = (self._total_batches() // group) // world
+        g = b // group
+        return g % world == rank and g // world < rounds
 
     def __len__(self):
         t = self._total_batches()
         if self.shard is None:
             return t
-        return sum(1 for b in range(t) if self._keep_batch(b))
+        _, world, group = self.shard
+        return ((t // group) // world) * group  # complete rounds only
 
     def _epoch_indices(self):
         idx = np.arange(len(self.dataset))

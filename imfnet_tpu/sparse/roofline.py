@@ -28,7 +28,7 @@ build, skip-concat copies, and BN stat reductions are ignored.
 """
 from __future__ import annotations
 
-from imfnet_tpu.sparse.ops import _BAND_PLANS, _band_plan, _kz_of
+from imfnet_tpu.sparse.ops import _band_plan_packed, _kz_of
 
 
 def conv_traffic_bytes(n_out: int, n_in: int, k: int, cin: int, cout: int,
@@ -48,19 +48,12 @@ def conv_traffic_bytes(n_out: int, n_in: int, k: int, cin: int, cout: int,
 
     pack = 128 // cin if cin < 128 and 128 % cin == 0 and cin > 1 else 1
     mode = "same" if n_out == n_in else ("down" if n_out < n_in else "up")
-    plan = None
-    for key in ((mode, cin, cout), (mode, cin)):
-        if key in _BAND_PLANS:
-            plan = _BAND_PLANS[key]
-            break
-    if plan is None:
-        B, W = _band_plan(n_out, n_in, k)
-        if pack > 1:
-            W = max(W // pack + 8, 32)
-        kind = "col"
-    else:
-        B, W = plan[0], plan[1]
-        kind = plan[3] if len(plan) > 3 else "col"
+    # the EXECUTED plan, from the same resolver ops._apply uses (measured
+    # table + PLAN_OVERRIDES + generic fallback) — a hand-copied lookup
+    # here would silently desynchronize from the kernel path
+    plan = _band_plan_packed(mode, cin, cout, pack, n_out, n_in, k)
+    B, W = plan[0], plan[1]
+    kind = plan[3] if len(plan) > 3 else "col"
     cp = 128 if pack > 1 else -(-cin // 128) * 128
     nb = -(-n_out // B)
     if kind == "union":

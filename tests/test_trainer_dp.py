@@ -155,3 +155,23 @@ def test_pair_loader_shard_partitions_epoch():
     interleaved = r0[0:2] + r1[0:2] + r0[2:4] + r1[2:4]
     for a, b in zip(full, interleaved):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pair_loader_shard_ragged_tail_is_equalized():
+    """A batch total NOT divisible by world*group must yield EQUAL counts on
+    every rank (ragged tails would leave one rank alone inside the global
+    pmean collective and deadlock the job) — only complete rounds survive."""
+    from imfnet_tpu.data.datasets import make_data_loader
+
+    # 10 batches, world=2, group=2 -> 2 complete rounds -> 4 batches/rank
+    config = _dp_config("unused", synthetic_length=10,
+                        use_random_rotation=False)
+
+    def count(shard):
+        loader = make_data_loader(config, "train", 1)
+        loader.shard = shard
+        n = sum(1 for _ in loader)
+        assert n == len(loader)
+        return n
+
+    assert count((0, 2, 2)) == count((1, 2, 2)) == 4
