@@ -224,10 +224,12 @@ def make_bucketed_extractor(model, variables, *, config: Config,
             @jax.jit
             def fwd(coords, feats_in, n, image):
                 from imfnet_tpu.sparse.coords import SparseVoxels
+                from imfnet_tpu.sparse.kernel_map import coarse_levels_fit
 
                 sv = SparseVoxels(coords, feats_in, n)
                 pyr = pyramid_fn(coords, n)
-                return model.apply(variables, sv, pyr, image, train=False)
+                feats = model.apply(variables, sv, pyr, image, train=False)
+                return feats, coarse_levels_fit(pyr)
 
             forward_by_bucket[key] = fwd
         return forward_by_bucket[key]
@@ -238,10 +240,26 @@ def make_bucketed_extractor(model, variables, *, config: Config,
             quantize_by_path[extent] = build_quantize(extent)
         sv, xyz_down = quantize_by_path[extent](jnp.asarray(xyz_raw), n_raw)
         n = int(sv.num_valid)
-        bucket = next((b for b in buckets if b >= n), n_max)
-        fwd = forward_for(bucket, extent)
-        feats = fwd(sv.coords[:bucket], sv.feats[:bucket],
-                    jnp.minimum(sv.num_valid, bucket), image)
+        # bucket by the level-0 count, then ESCALATE if a coarser level's
+        # unique count overflows its capacity (bucket // divisor):
+        # low-merge geometry (sparse/dispersed points) can need a larger
+        # bucket than level 0 alone suggests — descriptors from a truncated
+        # pyramid are silently wrong, so overflow re-runs, never returns
+        start = next((i for i, b in enumerate(buckets) if b >= n),
+                     len(buckets) - 1)
+        for bucket in buckets[start:]:
+            fwd = forward_for(bucket, extent)
+            feats, fits = fwd(sv.coords[:bucket], sv.feats[:bucket],
+                              jnp.minimum(sv.num_valid, bucket), image)
+            if bool(fits):
+                break
+            logging.warning(
+                "fragment's coarse pyramid levels overflow bucket %d "
+                "capacities — escalating", bucket)
+        else:
+            logging.error(
+                "coarse pyramid levels overflow even the largest bucket %d; "
+                "descriptors computed on a truncated pyramid", buckets[-1])
         return np.asarray(xyz_down)[:n], np.asarray(feats)[:n]
 
     return extract

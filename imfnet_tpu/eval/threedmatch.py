@@ -230,20 +230,22 @@ def _generate_descriptors_sharded(
                 imgs[d] = image
             extract = extractor_for(bucket, use_grid)
             t0 = time.perf_counter()
-            xyz_down, feats, nvalid = extract(
+            xyz_down, feats, nvalid, fits = extract(
                 jnp.asarray(raws), jnp.asarray(ns), jnp.asarray(imgs))
             nvalid = np.asarray(nvalid)
+            fits = np.asarray(fits)
             xyz_down = np.asarray(xyz_down)
             feats = np.asarray(feats)
             total_t += time.perf_counter() - t0
             count += n_real
             for d in range(n_real):
                 points, raw, n_raw_d, image, out_path = items[d]
-                if int(nvalid[d]) >= n_pad:
+                if int(nvalid[d]) >= n_pad or not bool(fits[d]):
                     logging.warning(
-                        "fragment %s fills the sharded voxel capacity %d — "
+                        "fragment %s overflows the sharded capacity "
+                        "(%d voxels / n_pad %d, coarse levels fit: %s) — "
                         "re-extracting single-device (exact bucketing)",
-                        out_path, n_pad)
+                        out_path, int(nvalid[d]), n_pad, bool(fits[d]))
                     if fallback[0] is None:
                         fallback[0] = make_bucketed_extractor(
                             model, variables, config=config)

@@ -161,10 +161,13 @@ def make_sharded_extractor(model, variables, config: Config, mesh: Mesh, *,
     `scripts/generate_desc.py:83-123`).
 
     Returns extract(xyz_raw[D,n_raw,3], n_valid[D], images[D,H,W,3]) →
-    (xyz_down[D,n_pad,3], feats[D,n_pad,C], num_valid[D]).
+    (xyz_down[D,n_pad,3], feats[D,n_pad,C], num_valid[D], fits[D]).
     Overflow contract: a fragment with more than ``n_pad`` voxels reports
-    num_valid == n_pad; callers MUST re-extract it single-device (the
-    bucketed extractor sizes exactly) rather than accept a truncation.
+    num_valid == n_pad, and one whose COARSER pyramid levels overflow their
+    ``n_pad``-derived capacities reports fits == False
+    (kernel_map.coarse_levels_fit); callers MUST re-extract such fragments
+    single-device (the bucketed extractor escalates until every level
+    fits) rather than accept a truncation.
     """
     import jax.numpy as jnp
 
@@ -190,19 +193,22 @@ def make_sharded_extractor(model, variables, config: Config, mesh: Mesh, *,
             return quantize(x, f, valid, vox, n_pad)
 
     def device_extract(vars_, xyz, n, image):
+        from imfnet_tpu.sparse.kernel_map import coarse_levels_fit
+
         xyz, n = xyz[0], n[0]
         valid = jnp.arange(xyz.shape[0]) < n
         feats_in = jnp.ones((xyz.shape[0], 1), jnp.float32)
         sv, _, xyz_down = quantize_fn(xyz, feats_in, valid)
         pyr = pyramid_fn(sv.coords, sv.num_valid)
         feats = model.apply(vars_, sv, pyr, image, train=False)
-        return xyz_down[None], feats[None], sv.num_valid[None]
+        return (xyz_down[None], feats[None], sv.num_valid[None],
+                coarse_levels_fit(pyr)[None])
 
     sharded = shard_map(
         device_extract,
         mesh=mesh,
         in_specs=(P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
-        out_specs=(P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
+        out_specs=(P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
         check_vma=False,
     )
     jitted = jax.jit(sharded)

@@ -134,6 +134,22 @@ class CoordinatePyramid(NamedTuple):
     k5_l0: jax.Array  # [N0,125] conv1 kernel map (conv1_kernel_size=5)
 
 
+def coarse_levels_fit(pyr: "CoordinatePyramid") -> jax.Array:
+    """bool[]: True iff every coarser level's unique-coordinate count sits
+    strictly below its static capacity. The grid builder CLAMPS the count
+    at capacity (grid.build_pyramid_grid), so a full level is
+    indistinguishable from an overflowed one — `num_valid >= capacity` is
+    therefore treated as overflow-suspect. Extractors use this to
+    re-extract at a larger capacity instead of returning descriptors
+    computed on a silently truncated pyramid (the same failure class as
+    the raw-point subsample fixed in round 4); an exact-fit false positive
+    only costs a loud re-extract, never a wrong result."""
+    ok = jnp.bool_(True)
+    for lv in pyr.levels[1:]:
+        ok = ok & (lv.num_valid < lv.coords.shape[0])
+    return ok
+
+
 def build_pyramid(
     coords: jax.Array,
     num_valid: jax.Array,

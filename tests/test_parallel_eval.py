@@ -73,9 +73,10 @@ def test_sharded_extractor_matches_single_device(model_and_vars):
     mesh = make_mesh(D)
     sharded = make_sharded_extractor(model, variables, config, mesh,
                                      n_raw=n_raw, n_pad=n_pad)
-    xd_s, f_s, nv_s = sharded(jnp.asarray(raws), jnp.asarray(ns),
-                              jnp.asarray(images))
+    xd_s, f_s, nv_s, fits = sharded(jnp.asarray(raws), jnp.asarray(ns),
+                                    jnp.asarray(images))
     xd_s, f_s, nv_s = map(np.asarray, (xd_s, f_s, nv_s))
+    assert np.asarray(fits).shape == (D,)
 
     single = make_extractor(model, variables, config=config, n_pad=n_pad)
     for d in range(D):
@@ -109,3 +110,52 @@ def test_evaluate_kitti_sharded_matches_single(model_and_vars):
     assert r1["success_rate"] == r4["success_rate"]
     np.testing.assert_allclose(r4["rte"], r1["rte"], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(r4["rre"], r1["rre"], rtol=1e-3, atol=1e-5)
+
+
+def test_generate_descriptors_sharded_matches_serial(tmp_path, model_and_vars):
+    """cli generate-desc --num-devices path: chunked sharded extraction
+    (full chunk + padded tail) writes the same .npz artifacts as the serial
+    walk — the user-facing orchestration over make_sharded_extractor."""
+    import os
+
+    from imfnet_tpu.eval.threedmatch import generate_descriptors
+    from imfnet_tpu.geom.ply import write_ply
+
+    config, model, variables = model_and_vars
+    config = config.replace(grid_extent=(128, 128, 128))
+    rng = np.random.RandomState(3)
+    scene = "toy-scene"
+    scene_dir = tmp_path / "pcloud" / scene / "seq-01"
+    os.makedirs(scene_dir)
+    # 5 fragments on 2 devices: two full chunks + a padded tail chunk
+    for k in range(5):
+        pts = (rng.rand(400 + 40 * k, 3) * 1.2).astype(np.float32)
+        write_ply(str(scene_dir / f"cloud_bin_{k}.ply"), pts)
+
+    def run(out, num_devices, sharded_n_pad):
+        stats = generate_descriptors(
+            model, variables, config, str(tmp_path / "pcloud"), str(out),
+            scenes=[scene], raw_buckets=(512, 1024),
+            num_devices=num_devices, sharded_n_pad=sharded_n_pad)
+        assert stats["count"] == 5
+        return {
+            k: np.load(out / scene / "seq-01" / f"cloud_bin_{k}.npz")
+            for k in range(5)
+        }
+
+    serial = run(tmp_path / "d1", 1, 2048)
+    # n_pad 2048: every fragment fits -> the genuinely sharded path
+    sharded = run(tmp_path / "d2", 2, 2048)
+    # n_pad 512: dispersed random points overflow the COARSE level
+    # capacities (512//divisor) even though level 0 fits — the
+    # coarse_levels_fit guard must force the single-device fallback
+    # instead of silently truncated descriptors (this exact corpus
+    # produced 0.08-level feature errors before the guard)
+    guarded = run(tmp_path / "d3", 2, 512)
+    for k in range(5):
+        assert set(sharded[k].files) == {"points", "xyz", "feature"}
+        for got in (sharded[k], guarded[k]):
+            np.testing.assert_allclose(got["xyz"], serial[k]["xyz"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(got["feature"], serial[k]["feature"],
+                                       rtol=1e-4, atol=1e-5)
