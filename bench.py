@@ -237,8 +237,14 @@ def bench_train_step(n_pad: int = 24576, iters: int = 5):
                        opt_state=tx.init(variables["params"]),
                        step=jnp.int32(0))
 
+    # state/batch are explicit jit ARGUMENTS, not closure captures: captured
+    # device arrays bake into the HLO as literal constants, so any
+    # run-to-run bit difference in the on-device-computed batch re-keys the
+    # ~125 MB compiled program and defeats the persistent cache (observed:
+    # the train section re-compiled ~400 s on every bench run). As
+    # parameters, the cache key depends only on shapes/dtypes.
     @jax.jit
-    def run():
+    def run(state, batch):
         def body(i, carry):
             eps, _ = carry
             st, metrics = step(
@@ -249,9 +255,9 @@ def bench_train_step(n_pad: int = 24576, iters: int = 5):
         return jax.lax.fori_loop(0, iters, body,
                                  (jnp.float32(0.0), jnp.float32(0.0)))
 
-    _ = float(run()[1])
+    _ = float(run(state, batch)[1])
     t0 = time.perf_counter()
-    _ = float(run()[1])
+    _ = float(run(state, batch)[1])
     train_ms = (time.perf_counter() - t0) / iters * 1e3
 
     fwd0 = model_forward_flops(model, variables, pyr0, batch.image0)
@@ -603,7 +609,12 @@ def main():
 
     # ---- training-step timing + MFU (VERDICT r3 weak item 6: the training
     # path gets the same honest FLOP accounting as the eval forward) ----
-    if _budget_left("train", 120.0):
+    # the train section costs ~300 s even with a warm compile cache: its
+    # SETUP (tracing the full train step, quantizing two 131k-point sides,
+    # model init) runs every process regardless of caching on this 1-CPU
+    # host — demand that much budget so a slow day degrades to a recorded
+    # skip instead of a driver-timeout kill
+    if _budget_left("train", 300.0):
         t_c = time.perf_counter()
         train_ms, train_mfu_model, train_gflops_model = bench_train_step()
         compile_s["train"] = round(time.perf_counter() - t_c
